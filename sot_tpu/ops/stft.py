@@ -1,0 +1,114 @@
+"""Batched STFT magnitude for TPU.
+
+Behavioural contract (verified against torch.stft on CPU in tests):
+  * tf-style ``pad_end=True`` framing — the window slides until completely
+    beyond the signal (reference utils.py:252-275, features.py:191-214)
+  * ``center=False``: frame k covers samples [k*hop, k*hop + n_fft)
+  * spectrum = rfft(window * frame); ``normalized=True`` divides by
+    sqrt(n_fft) (torch.stft convention used throughout the reference)
+  * magnitude = |rfft| with a gradient-safe backward (d|z| at z=0 is NaN in
+    plain autodiff; the reference carries an unused ``add_in_sqrt`` arg for
+    the same reason, features.py:217-237)
+
+TPU notes: framing is a static gather that XLA fuses with the window
+multiply; the rfft lowers to the XLA TPU FFT. Frame counts and pad amounts
+are Python ints -> static shapes under jit. Output is time-major
+(batch, frames, freq) which is the layout every consumer wants
+(reference permutes to it at features.py:104-110).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sot_tpu.ops.numerics import pad_for_stft_length
+from sot_tpu.ops.windows import get_window, hann_window
+
+Array = jax.Array
+
+
+@jax.custom_jvp
+def _complex_abs(re: Array, im: Array) -> Array:
+    return jnp.sqrt(re * re + im * im)
+
+
+@_complex_abs.defjvp
+def _complex_abs_jvp(primals, tangents):
+    re, im = primals
+    dre, dim = tangents
+    mag = jnp.sqrt(re * re + im * im)
+    # Forward values exactly match |z|; the tangent clamps the denominator so
+    # gradients at spectral zeros are 0 instead of NaN.
+    safe = jnp.maximum(mag, 1e-20)
+    return mag, (re * dre + im * dim) / safe
+
+
+def complex_magnitude(z: Array) -> Array:
+    """|z| with NaN-free gradient at 0."""
+    return _complex_abs(jnp.real(z), jnp.imag(z))
+
+
+def frame_signal(audio: Array, frame_size: int, hop_length: int,
+                 pad_end: bool = True) -> Array:
+    """Slice audio [..., T] into overlapping frames [..., n_frames, frame_size].
+
+    With ``pad_end=True`` uses tf-style padding: n_frames = ceil(T / hop).
+    Purely static shapes; the gather is XLA-fused with downstream windowing.
+    """
+    t = audio.shape[-1]
+    if pad_end:
+        pad = pad_for_stft_length(t, frame_size, hop_length)
+        if pad:
+            pad_widths = [(0, 0)] * (audio.ndim - 1) + [(0, pad)]
+            audio = jnp.pad(audio, pad_widths)
+        n_frames = -(-t // hop_length)
+    else:
+        n_frames = 1 + (t - frame_size) // hop_length
+    idx = (np.arange(n_frames)[:, None] * hop_length + np.arange(frame_size)[None, :])
+    return audio[..., idx]
+
+
+def rfft_frequencies(n_fft: int, sample_rate: float) -> np.ndarray:
+    """Bin centre frequencies in Hz (np.fft.rfftfreq semantics)."""
+    return np.fft.rfftfreq(n_fft, d=1.0 / sample_rate).astype(np.float32)
+
+
+def stft_magnitude(
+    audio: Array,
+    size: int = 2048,
+    overlap: float = 0.75,
+    window: Optional[Union[str, Array]] = None,
+    pad_end: bool = True,
+    normalized: bool = True,
+    time_major: bool = True,
+) -> Array:
+    """Magnitude STFT of [batch, T] audio -> [batch, frames, size//2+1].
+
+    Matches the reference ``compute_mag`` (features.py:191-237): hann window
+    by default, center=False, pad_end=True, divided by sqrt(size).
+    """
+    audio = jnp.asarray(audio, jnp.float32)
+    squeeze = audio.ndim == 1
+    if squeeze:
+        audio = audio[None]
+    hop_length = int(size * (1.0 - overlap))
+    if window is None:
+        win = hann_window(size)
+    elif isinstance(window, str):
+        win = get_window(window, size)
+    else:
+        win = jnp.asarray(window, jnp.float32)
+    frames = frame_signal(audio, size, hop_length, pad_end=pad_end)
+    spec = jnp.fft.rfft(frames * win, axis=-1)
+    mag = complex_magnitude(spec)
+    if normalized:
+        mag = mag / np.sqrt(size).astype(np.float32)
+    if not time_major:
+        mag = jnp.swapaxes(mag, -1, -2)
+    if squeeze:
+        mag = mag[0]
+    return mag
