@@ -1,0 +1,71 @@
+"""Benchmark: SOT-2048 train-step throughput on the available accelerator.
+
+Prints ONE JSON line:
+  {"metric": "audio frames/sec/chip (SOT-2048 train step)",
+   "value": N, "unit": "frames/s/chip", "vs_baseline": null, ...}
+
+'audio frames' = CQT/STFT analysis frames processed per second
+(batch 64 x 16 frames per 4096-sample clip — the paper training config).
+The reference publishes no throughput numbers (BASELINE.md), so vs_baseline
+is reported against a reference-stack measurement when available (torch CPU
+is not comparable; null otherwise).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sot_tpu import data as data_lib
+    from sot_tpu.configs import get_experiment
+    from sot_tpu.training.trainer import build_modules, init_state, make_train_step
+
+    cfg = get_experiment("SOT-2048")
+    mod = build_modules(cfg)
+    rng = jax.random.key(0)
+    state = init_state(mod, rng)
+    train_step = make_train_step(mod)
+
+    signals, _, _ = data_lib.generate_sinusoid_dataset(
+        seed=0, size=cfg.batch_size, n_samples=cfg.n_samples,
+        render_batch=cfg.batch_size)
+    x = jnp.asarray(data_lib.peak_normalize(signals))
+
+    # warmup / compile
+    for _ in range(3):
+        state, logs = train_step(state, x, rng)
+    jax.block_until_ready(logs["loss/total"])
+
+    n_iters = 30
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        state, logs = train_step(state, x, rng)
+    jax.block_until_ready(logs["loss/total"])
+    elapsed = time.perf_counter() - t0
+
+    steps_per_sec = n_iters / elapsed
+    frames_per_clip = cfg.n_samples // cfg.cqt_hop_length  # 16
+    frames_per_sec = steps_per_sec * cfg.batch_size * frames_per_clip
+
+    result = {
+        "metric": "audio frames/sec/chip (SOT-2048 train step)",
+        "value": round(frames_per_sec, 1),
+        "unit": "frames/s/chip",
+        "vs_baseline": None,
+        "steps_per_sec": round(steps_per_sec, 3),
+        "samples_per_sec": round(steps_per_sec * cfg.batch_size, 1),
+        "batch_size": cfg.batch_size,
+        "device": str(jax.devices()[0]),
+        "final_loss": float(logs["loss/total"]),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

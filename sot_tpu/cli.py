@@ -1,0 +1,156 @@
+"""Command-line entry points (L6).
+
+Replaces the reference's LightningCLI/jsonargparse stack (train.py:19-236)
+with an explicit registry-driven CLI:
+
+    python -m sot_tpu.cli train --experiment SOT-2048 --seed 42 --steps 25000 \
+        --out runs/sot2048-42
+    python -m sot_tpu.cli evaluate --experiment SOT-2048 --ckpt runs/.../best-lsd
+    python -m sot_tpu.cli generate-data --out data/sinusoids.npz
+    python -m sot_tpu.cli list
+
+A resolved-config snapshot is persisted into the run directory
+(cf. reference save_config.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+from typing import Optional
+
+from sot_tpu.configs import EXPERIMENTS, PAPER_SEEDS, get_experiment
+
+
+def _save_resolved_config(cfg, out_dir: str) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "train_config.json"), "w") as fh:
+        json.dump(dataclasses.asdict(cfg), fh, indent=2, default=str)
+
+
+def cmd_train(args: argparse.Namespace) -> int:
+    from sot_tpu.training.trainer import train
+
+    overrides = {}
+    if args.seed is not None:
+        overrides["seed"] = args.seed
+    if args.batch_size is not None:
+        overrides["batch_size"] = args.batch_size
+    if args.dataset is not None:
+        overrides["dataset_path"] = args.dataset
+    if args.dataset_size is not None:
+        overrides["dataset_size"] = args.dataset_size
+    if args.eval_every is not None:
+        overrides["eval_every_steps"] = args.eval_every
+    cfg = get_experiment(args.experiment, **overrides)
+
+    out = args.out or f"runs/{cfg.name}-{cfg.seed}"
+    os.makedirs(out, exist_ok=True)
+    _save_resolved_config(cfg, out)
+
+    state, best = train(
+        cfg,
+        max_steps=args.steps,
+        checkpoint_dir=os.path.join(out, "checkpoints"),
+        log_file=os.path.join(out, "log.jsonl"),
+        resume_from=args.resume,
+    )
+    with open(os.path.join(out, "best_metrics.json"), "w") as fh:
+        json.dump(best, fh, indent=2)
+    print(json.dumps({"best_val_metrics": best}))
+    return 0
+
+
+def cmd_evaluate(args: argparse.Namespace) -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from sot_tpu import data as data_lib
+    from sot_tpu.training import checkpoint as ckpt_lib
+    from sot_tpu.training.trainer import (build_modules, evaluate, init_state,
+                                          make_eval_step)
+
+    cfg = get_experiment(args.experiment,
+                         **({"dataset_path": args.dataset} if args.dataset else {}))
+    mod = build_modules(cfg)
+    state = init_state(mod, jax.random.key(0))
+    if args.ckpt:
+        state, _ = ckpt_lib.restore(args.ckpt, state)
+    if cfg.dataset_path:
+        splits = data_lib.load_pth_dataset(cfg.dataset_path)
+    else:
+        splits = data_lib.make_dataset(seed=cfg.data_seed, size=cfg.dataset_size)
+    eval_step = make_eval_step(mod)
+    split = splits.get(args.split, splits["val"])
+    metrics = evaluate(mod, eval_step, state.params, split, cfg.batch_size)
+    print(json.dumps({f"{args.split}_metrics": metrics}, indent=2))
+    return 0
+
+
+def cmd_generate_data(args: argparse.Namespace) -> int:
+    import numpy as np
+
+    from sot_tpu import data as data_lib
+
+    signals, freqs, amps = data_lib.generate_sinusoid_dataset(
+        seed=args.seed, size=args.size)
+    os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
+    np.savez(args.out, signals=signals, frequency=freqs, weights=amps)
+    print(f"wrote {args.out}: {signals.shape[0]} items x {signals.shape[1]} samples")
+    return 0
+
+
+def cmd_list(_args: argparse.Namespace) -> int:
+    for name, cfg in EXPERIMENTS.items():
+        loss_desc = " + ".join(
+            f"{l.weight}x{l.kind}" for l in cfg.losses)
+        print(f"{name:14s} transform={cfg.transform}:{cfg.transform_n_fft} "
+              f"losses=[{loss_desc}] rolloff={cfg.apply_roll_off}")
+    print(f"paper seeds: {PAPER_SEEDS}")
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="sot_tpu", description=__doc__)
+    sub = p.add_subparsers(dest="command", required=True)
+
+    t = sub.add_parser("train", help="train an experiment")
+    t.add_argument("--experiment", default="SOT-2048", choices=sorted(EXPERIMENTS))
+    t.add_argument("--seed", type=int, default=None)
+    t.add_argument("--steps", type=int, default=None)
+    t.add_argument("--batch-size", type=int, default=None)
+    t.add_argument("--dataset", default=None, help="path to reference .pth dataset")
+    t.add_argument("--dataset-size", type=int, default=None)
+    t.add_argument("--eval-every", type=int, default=None)
+    t.add_argument("--out", default=None)
+    t.add_argument("--resume", default=None, help="checkpoint path to resume from")
+    t.set_defaults(fn=cmd_train)
+
+    e = sub.add_parser("evaluate", help="evaluate a checkpoint")
+    e.add_argument("--experiment", default="SOT-2048", choices=sorted(EXPERIMENTS))
+    e.add_argument("--ckpt", default=None)
+    e.add_argument("--dataset", default=None)
+    e.add_argument("--split", default="test", choices=("train", "val", "test"))
+    e.set_defaults(fn=cmd_evaluate)
+
+    g = sub.add_parser("generate-data", help="generate the synthetic dataset")
+    g.add_argument("--out", default="data/sinusoids.npz")
+    g.add_argument("--seed", type=int, default=0)
+    g.add_argument("--size", type=int, default=4000)
+    g.set_defaults(fn=cmd_generate_data)
+
+    l = sub.add_parser("list", help="list experiment presets")
+    l.set_defaults(fn=cmd_list)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,147 @@
+"""Experiment configuration registry (L6).
+
+Typed configs replacing the reference's LightningCLI/jsonargparse class_path
+trees. The seven paper experiment families (reference paper-experiments/,
+SURVEY.md section 2.2) are registered by name; everything else is a field
+override.
+
+Shared base (all experiments): batch 64, Adam lr=1e-4 wd=1e-4, 25k steps,
+fp32, CQT feature extractor (3 bins/semitone, fmin 32.7 -> 285 bins @ 16 kHz),
+PESTO encoder (n_modes=20, harmonic, soft-argmax T=0.1), frozen
+Sinusoidal(harmonic=True, n_samples=4096), best-checkpoint on min val LSD.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class LossConfig:
+    """One loss term. kind in {'mss', 'wasserstein'}."""
+
+    kind: str
+    weight: float = 1.0
+    # mss
+    fft_sizes: Tuple[int, ...] = (2048, 1024, 512, 256, 128, 64)
+    mag_weight: float = 1.0
+    logmag_weight: float = 0.0
+    loss_type: str = "L1"
+    # wasserstein
+    p: float = 2
+    square_dist: bool = False
+    dont_normalize: bool = False
+    limit_quantile_range: bool = False
+    log_scaled_x: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class ExperimentConfig:
+    name: str = "SOT-2048"
+    seed: int = 42
+
+    # data (reference dataset 40_1950_4096_04_1_4000_8_1_harmonic)
+    sample_rate: int = 16000
+    n_samples: int = 4096
+    freq_gen_min: float = 40.0
+    freq_gen_max: float = 1950.0
+    amplitude_min: float = 0.4
+    amplitude_max: float = 1.0
+    dataset_size: int = 4000
+    n_sinusoids: int = 8
+    n_sinusoids_min: int = 1
+    data_seed: int = 0
+    dataset_path: Optional[str] = None  # load reference .pth instead of generating
+
+    # model
+    n_modes: int = 20
+    temperature: float = 0.1
+    estimation_type: str = "soft-argmax"
+    apply_roll_off: bool = False
+
+    # feature extractor (encoder input)
+    cqt_fmin: float = 32.7
+    cqt_bins_per_semitone: int = 3
+    cqt_hop_length: int = 256
+
+    # loss-domain transform: ('stft', n_fft, hop, window) or 'identity'
+    transform: str = "stft"          # 'stft' | 'identity'
+    transform_n_fft: int = 2048
+    transform_hop: int = 256
+    transform_window: Optional[str] = "flattop"
+
+    losses: Tuple[LossConfig, ...] = ()
+
+    # optimisation
+    batch_size: int = 64
+    learning_rate: float = 1e-4
+    weight_decay: float = 1e-4
+    max_steps: int = 25000
+    eval_every_steps: int = 220  # ~ reference's val every 5 epochs (44 steps/epoch)
+
+    # evaluation metric gate (reference evaluation_metrics config block)
+    evaluation_metrics: Tuple[str, ...] = (
+        "mse", "log_spectral_distance", "mss", "raw_pitch_accuracy",
+        "raw_chroma_accuracy", "octave_difference",
+    )
+
+    def replace(self, **kw) -> "ExperimentConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def _sot_losses(mss_weight: float = 0.05,
+                mss_fft_sizes: Tuple[int, ...] = (2048, 1024, 512, 256, 128, 64),
+                dont_normalize: bool = True,
+                limit_quantile_range: bool = True,
+                log_scaled_x: bool = False) -> Tuple[LossConfig, ...]:
+    return (
+        LossConfig(kind="mss", weight=mss_weight, fft_sizes=mss_fft_sizes,
+                   mag_weight=1.0, logmag_weight=0.0, loss_type="L1"),
+        LossConfig(kind="wasserstein", weight=1.0, p=2, square_dist=True,
+                   dont_normalize=dont_normalize,
+                   limit_quantile_range=limit_quantile_range,
+                   log_scaled_x=log_scaled_x),
+    )
+
+
+_BASE = ExperimentConfig()
+
+EXPERIMENTS: Dict[str, ExperimentConfig] = {
+    # SOT-2048: flattop 2048-pt loss STFT, cutoff on (paper headline)
+    "SOT-2048": _BASE.replace(name="SOT-2048", losses=_sot_losses()),
+    # SOT-512: 512-pt loss STFT
+    "SOT-512": _BASE.replace(name="SOT-512", transform_n_fft=512,
+                             losses=_sot_losses()),
+    # SOT-512-LogF: log-scaled frequency positions
+    "SOT-512-LogF": _BASE.replace(name="SOT-512-LogF", transform_n_fft=512,
+                                  losses=_sot_losses(log_scaled_x=True)),
+    # SOT-NoCut: ablate the frequency cutoff
+    "SOT-NoCut": _BASE.replace(
+        name="SOT-NoCut",
+        losses=_sot_losses(dont_normalize=False, limit_quantile_range=False)),
+    # SOT-2048-SS: MSS restricted to one scale, weight 0.1
+    "SOT-2048-SS": _BASE.replace(
+        name="SOT-2048-SS",
+        losses=_sot_losses(mss_weight=0.1, mss_fft_sizes=(512,))),
+    # MSS-Lin: plain linear-magnitude MSS on raw audio
+    "MSS-Lin": _BASE.replace(
+        name="MSS-Lin", transform="identity", transform_window=None,
+        losses=(LossConfig(kind="mss", weight=1.0, mag_weight=1.0,
+                           logmag_weight=0.0),)),
+    # MSS-LogLin: linear+log MSS, decoder rolloff
+    "MSS-LogLin": _BASE.replace(
+        name="MSS-LogLin", transform="identity", transform_window=None,
+        apply_roll_off=True,
+        losses=(LossConfig(kind="mss", weight=1.0, mag_weight=1.0,
+                           logmag_weight=1.0),)),
+}
+
+PAPER_SEEDS = (42, 123, 456, 789, 101112)
+
+
+def get_experiment(name: str, **overrides: Any) -> ExperimentConfig:
+    if name not in EXPERIMENTS:
+        raise KeyError(f"Unknown experiment {name!r}; have {sorted(EXPERIMENTS)}")
+    cfg = EXPERIMENTS[name]
+    return cfg.replace(**overrides) if overrides else cfg

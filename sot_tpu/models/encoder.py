@@ -1,0 +1,215 @@
+"""PESTO-style CNN pitch encoder (L3) in Flax.
+
+Re-architecture of the reference encoder (encoder.py:73-365) for TPU:
+  * convs run in NWC layout (XLA's native TPU conv layout)
+  * ``ToeplitzLinear`` — the PESTO translation-equivariance trick (a linear
+    map constrained to a Toeplitz matrix, reference encoder.py:22-33) — is
+    implemented as an explicit Toeplitz-matrix gather + matmul: a (in, out)
+    MXU matmul instead of a width-1139 conv, same math, same parameters
+  * flatten order is channel-major to preserve the reference's feature
+    ordering into the Toeplitz heads
+  * initialisers follow torch's conv/linear defaults (kaiming-uniform with
+    a=sqrt(5) -> U(+-1/sqrt(fan_in))) so training dynamics are comparable
+
+Output heads (reference encoder.py:236-302): 'frequency' logits (out_size
+bins, Toeplitz), 'weights' (n_modes harmonic amplitudes via exp-sigmoid,
+dense), optional 'gain'. ``predict_pitch`` implements soft-argmax /
+kernel-soft-argmax / regression heads (reference encoder.py:304-365).
+
+~46K parameters in the paper configuration (n_bins_in=285, n_modes=20).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sot_tpu.ops.numerics import exp_sigmoid
+
+Array = jax.Array
+
+
+def _torch_uniform_init(fan_in: int):
+    """torch kaiming_uniform(a=sqrt(5)) == U(+-1/sqrt(fan_in))."""
+    bound = 1.0 / math.sqrt(fan_in)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+class ToeplitzLinear(nn.Module):
+    """Linear layer constrained to a Toeplitz matrix (weight sharing along
+    diagonals): in+out-1 parameters, applied as an MXU matmul.
+
+    Equivalent to the reference's width-(in+out-1) Conv1d with padding out-1
+    (encoder.py:22-33): out[j] = sum_i x[i] * w[i - j + out - 1].
+    """
+
+    in_features: int
+    out_features: int
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        n_w = self.in_features + self.out_features - 1
+        w = self.param("kernel", _torch_uniform_init(n_w), (n_w,))
+        i = np.arange(self.in_features)[:, None]
+        j = np.arange(self.out_features)[None, :]
+        toeplitz = w[jnp.asarray(i - j + self.out_features - 1)]
+        return jnp.dot(x, toeplitz, preferred_element_type=jnp.float32)
+
+
+class _Conv(nn.Module):
+    """1D conv (NWC) with torch-default initialisation."""
+
+    features: int
+    kernel_size: int
+    padding: int
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        in_ch = x.shape[-1]
+        fan_in = in_ch * self.kernel_size
+        return nn.Conv(
+            features=self.features,
+            kernel_size=(self.kernel_size,),
+            padding=self.padding,
+            kernel_init=_torch_uniform_init(fan_in),
+            bias_init=_torch_uniform_init(fan_in),
+        )(x)
+
+
+class _Dense(nn.Module):
+    features: int
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        fan_in = x.shape[-1]
+        return nn.Dense(
+            features=self.features,
+            kernel_init=_torch_uniform_init(fan_in),
+            bias_init=_torch_uniform_init(fan_in),
+        )(x)
+
+
+class PESTOEncoder(nn.Module):
+    """1D CNN over a single CQT frame -> dict of head outputs.
+
+    Args mirror the reference (encoder.py:95-139). Input is
+    [batch, n_bins_in] (a flattened (batch*time) of single-channel frames).
+    """
+
+    n_bins_in: int = 285
+    output_size: int = 285
+    n_modes: int = 20
+    output_splits: Sequence[str] = ("frequency", "weights")
+    harmonic: bool = True
+    n_chan_layers: Sequence[int] = (40, 30, 30, 10, 3)
+    n_prefilt_layers: int = 2
+    residual: bool = True
+    kernel_size: int = 15
+    a_lrelu: float = 0.3
+    p_dropout: float = 0.5
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Dict[str, Array]:
+        if x.ndim == 2:
+            x = x[:, :, None]  # [batch, bins, 1] (NWC)
+        act = lambda y: nn.leaky_relu(y, negative_slope=self.a_lrelu)
+
+        ch = list(self.n_chan_layers)
+        if len(ch) < 5:
+            ch.append(1)
+
+        # LayerNorm over (channel, bins) with per-(channel,bin) affine —
+        # torch LayerNorm([n_in, n_bins]) parity (reference encoder.py:154).
+        x = nn.LayerNorm(epsilon=1e-5, reduction_axes=(-2, -1),
+                         feature_axes=(-2, -1))(x)
+
+        pad = (self.kernel_size - 1) // 2
+        x = act(_Conv(ch[0], self.kernel_size, pad, name="conv1")(x))
+        for p in range(self.n_prefilt_layers - 1):
+            y = act(_Conv(ch[0], self.kernel_size, pad, name=f"prefilt{p}")(x))
+            x = y + x if self.residual else y
+        x = act(_Conv(ch[1], 1, 0, name="conv2")(x))
+        x = act(_Conv(ch[2], 1, 0, name="conv3")(x))
+        x = act(_Conv(ch[3], 1, 0, name="conv4a")(x))
+        x = nn.Dropout(rate=self.p_dropout, deterministic=not train)(x)
+        x = _Conv(ch[4], 1, 0, name="conv4b")(x)
+
+        # channel-major flatten (torch NCW flatten parity)
+        batch = x.shape[0]
+        feat = jnp.swapaxes(x, 1, 2).reshape(batch, -1)
+        feature_size = self.n_bins_in * ch[4]
+
+        outputs: Dict[str, Array] = {}
+        if "frequency" in self.output_splits:
+            n_mean_outs = 1 if self.harmonic else self.n_modes
+            heads = [
+                ToeplitzLinear(feature_size, self.output_size, name=f"frequency{i}")(feat)
+                for i in range(n_mean_outs)
+            ]
+            out = jnp.stack(heads, axis=1)
+            if n_mean_outs == 1:
+                out = out[:, 0]
+            outputs["frequency"] = out
+        if "gain" in self.output_splits:
+            outputs["gain"] = exp_sigmoid(_Dense(1, name="gain")(feat)[..., 0])
+        if "weights" in self.output_splits:
+            outputs["weights"] = exp_sigmoid(_Dense(self.n_modes, name="weights")(feat))
+        return outputs
+
+
+def predict_pitch(
+    logits: Array,
+    estimation_type: str = "soft-argmax",
+    temperature: float = 1.0,
+    mask: Optional[Array] = None,
+    kernel_std: float = 0.025,
+) -> Dict[str, Array]:
+    """Normalised pitch in [0, 1] from frequency logits
+    (reference encoder.py:304-365).
+
+    Args:
+      logits: [batch, out_size] or [batch, n_modes, out_size].
+    Returns dict with 'pitch_unit' (+ 'probabilities' for argmax heads).
+    """
+    if logits.ndim == 2:
+        # keep the mode axis in the outputs, as the reference does
+        logits = logits[:, None, :]
+    seq_len = logits.shape[-1]
+    positions = jnp.linspace(0.0, 1.0, seq_len)
+
+    outputs: Dict[str, Array] = {}
+    if estimation_type == "soft-argmax":
+        if mask is not None:
+            if mask.ndim == 2:
+                mask = mask[:, None, :]
+            logits = logits * mask + 1e-7
+        probabilities = jax.nn.softmax(logits / temperature, axis=-1)
+        expectation = jnp.sum(probabilities * positions, axis=-1)
+        outputs.update({"pitch_unit": expectation, "probabilities": probabilities})
+    elif estimation_type == "kernel-soft-argmax":
+        discrete_argmax = jnp.argmax(logits, axis=-1)
+        argmax_pos = discrete_argmax.astype(jnp.float32) / (seq_len - 1)
+        kernel = jnp.exp(
+            -((positions[None, None, :] - argmax_pos[..., None]) ** 2)
+            / (2.0 * kernel_std**2)
+        )
+        kernel = kernel / jnp.sum(kernel, axis=-1, keepdims=True)
+        probabilities = jax.nn.softmax(kernel * logits / temperature, axis=-1)
+        expectation = jnp.sum(probabilities * positions, axis=-1)
+        outputs.update(
+            {"pitch_unit": expectation, "probabilities": probabilities, "kernel": kernel}
+        )
+    elif estimation_type == "regression":
+        outputs["pitch_unit"] = jax.nn.sigmoid(logits)[..., 0]
+    else:
+        raise ValueError(f"Unknown estimation_type: {estimation_type}")
+    return outputs

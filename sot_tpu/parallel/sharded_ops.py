@@ -1,0 +1,129 @@
+"""Explicitly sharded DSP ops (shard_map + collectives).
+
+Two sharding strategies the single-chip code cannot express (SURVEY.md
+sections 2.3/5 "long-context"):
+
+* ``stft_magnitude_frame_sharded`` — the audio's *time* axis is sharded
+  across the mesh's 'freq' axis; each device computes its own frames after an
+  overlap-save halo exchange with its right neighbours via ``ppermute``
+  (halo = n_fft - hop samples, the exact frame geometry of the reference's
+  pad_end framing, utils.py:252-275). Output spectra come back sharded over
+  the *frame* axis.
+
+* ``wasserstein_1d_freq_sharded`` — spectra sharded over (rows='data',
+  bins='freq'); the per-row sort/cumsum/quantile merge needs full rows, so
+  rows all_gather their frequency shards over ICI (1025 floats/row — cheap)
+  and each device then solves its row shard independently.
+
+Both are differentiable end-to-end (collectives have well-defined
+transposes: ppermute <-> inverse permute, all_gather <-> psum_scatter).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from sot_tpu.ops.stft import frame_signal, _complex_abs
+from sot_tpu.ops.windows import get_window, hann_window
+from sot_tpu.ops.wasserstein import wasserstein_1d
+
+Array = jax.Array
+
+
+def stft_magnitude_frame_sharded(
+    audio: Array,
+    mesh: Mesh,
+    size: int = 2048,
+    hop_length: int = 256,
+    window: Optional[str] = None,
+    axis: str = "freq",
+) -> Array:
+    """Frame-sharded magnitude STFT over `mesh[axis]`.
+
+    audio: [batch, T] with T divisible by hop*n_shards. Equals the
+    single-device ``stft_magnitude(..., pad_end=True, normalized=True)``.
+    Returns [batch, n_frames, size//2+1] sharded over the frame axis.
+    """
+    n = mesh.shape[axis]
+    t = audio.shape[-1]
+    if t % (hop_length * n) != 0:
+        raise ValueError(f"T={t} must be divisible by hop*n_shards={hop_length * n}")
+    chunk = t // n
+    halo = size - hop_length
+    halo_chunks = -(-halo // chunk)
+    win = hann_window(size) if window is None else get_window(window, size)
+    scale = np.float32(1.0 / np.sqrt(size))
+
+    def local_stft(x_local: Array) -> Array:
+        # x_local: [batch, chunk] — this device's contiguous sample span.
+        idx = jax.lax.axis_index(axis)
+        parts = [x_local]
+        cur = x_local
+        # Collect halo_chunks right-neighbour chunks. ppermute send-to-left ==
+        # receive-from-right; wrapped (circular) data past the signal end is
+        # zeroed to emulate pad_end.
+        perm = [(d, (d - 1) % n) for d in range(n)]
+        for i in range(halo_chunks):
+            cur = jax.lax.ppermute(cur, axis, perm)
+            valid = (idx + 1 + i) < n
+            parts.append(jnp.where(valid, cur, jnp.zeros_like(cur)))
+        ext = jnp.concatenate(parts, axis=-1)[..., : chunk + halo]
+
+        frames_per_shard = chunk // hop_length
+        fidx = (np.arange(frames_per_shard)[:, None] * hop_length
+                + np.arange(size)[None, :])
+        frames = ext[..., fidx]
+        spec = jnp.fft.rfft(frames * win, axis=-1)
+        return _complex_abs(jnp.real(spec), jnp.imag(spec)) * scale
+
+    other = "data" if axis == "freq" else "freq"
+    fn = shard_map(
+        local_stft, mesh=mesh,
+        in_specs=P(None, axis),
+        out_specs=P(None, axis, None),
+        check_vma=False,
+    )
+    return fn(audio)
+
+
+def wasserstein_1d_freq_sharded(
+    grid: Array,
+    u_weights: Array,
+    v_weights: Array,
+    mesh: Mesh,
+    p: float = 1,
+    limit_quantile_range: bool = False,
+    row_axis: str = "data",
+    freq_axis: str = "freq",
+) -> Array:
+    """Same-grid W1D over (rows x bins) arrays sharded (row_axis, freq_axis).
+
+    all_gathers the frequency shards (rows stay sharded), then solves rows
+    locally. Returns [rows] sharded over row_axis.
+    """
+    rows, n_bins = u_weights.shape
+
+    def local_w1d(grid_l: Array, u_l: Array, v_l: Array) -> Array:
+        u_full = jax.lax.all_gather(u_l, freq_axis, axis=1, tiled=True)
+        v_full = jax.lax.all_gather(v_l, freq_axis, axis=1, tiled=True)
+        g_full = jax.lax.all_gather(grid_l, freq_axis, axis=0, tiled=True)
+        g_rows = jnp.broadcast_to(g_full[None, :], u_full.shape)
+        return wasserstein_1d(
+            g_rows, g_rows, u_weights=u_full, v_weights=v_full, p=p,
+            require_sort=False, limit_quantile_range=limit_quantile_range,
+        )
+
+    fn = shard_map(
+        local_w1d, mesh=mesh,
+        in_specs=(P(freq_axis), P(row_axis, freq_axis), P(row_axis, freq_axis)),
+        out_specs=P(row_axis),
+        check_vma=False,
+    )
+    return fn(grid, u_weights, v_weights)

@@ -1,0 +1,354 @@
+"""Explicit jitted train loop (L5) — no Lightning, a functional core.
+
+Replaces the reference's pl.LightningModule wiring (trainer.py:21-306) with:
+  * ``Modules`` — a static bundle of encoder/decoder/transforms/losses
+  * pure ``forward`` / ``compute_loss`` functions (reference shared_step
+    semantics: encode -> soft-argmax pitch -> unit_to_hz -> frozen synth ->
+    loss routing: raw audio to MSS terms, transformed spectra to Wasserstein
+    terms, trainer.py:153-257)
+  * one jitted ``train_step`` (Adam + torch-style coupled weight decay)
+  * one jitted ``eval_step`` computing the reference metric suite on-device
+
+TPU notes: the dataset lives on device; batches are gathered by index inside
+jit. The loop is stateless Python around pure functions — the same
+``train_step`` is reused by the sharded multi-chip path in sot_tpu.parallel.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable, Dict, Iterator, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from sot_tpu import data as data_lib
+from sot_tpu import losses as losses_lib
+from sot_tpu import metrics as metrics_lib
+from sot_tpu.configs import ExperimentConfig, LossConfig
+from sot_tpu.features import CQT, Identity, STFT, get_transform
+from sot_tpu.models.encoder import PESTOEncoder, predict_pitch
+from sot_tpu.models.synths import Sinusoidal
+from sot_tpu.ops.numerics import get_cqt_n_bins, hz_to_unit, unit_to_hz
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class Modules:
+    """Static (trace-time) bundle of everything the pure functions need."""
+
+    config: ExperimentConfig
+    encoder: PESTOEncoder
+    decoder: Sinusoidal
+    feature_extractor: CQT
+    transform: Any  # STFT | Identity
+    loss_fns: Tuple[Tuple[str, Any, float], ...]  # (kind, fn, weight)
+    x_pos: Optional[np.ndarray]  # loss-domain positions in [0,1] (static)
+    freq_hz_min: float
+    freq_hz_max: float
+    evaluation_metrics: Dict[str, bool]
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: Array
+
+
+def build_modules(cfg: ExperimentConfig) -> Modules:
+    n_bins = get_cqt_n_bins(cfg.sample_rate, cfg.cqt_fmin, cfg.cqt_bins_per_semitone)
+    feature_extractor = CQT(
+        sample_rate=cfg.sample_rate, fmin=cfg.cqt_fmin,
+        bins_per_semitone=cfg.cqt_bins_per_semitone, n_bins=n_bins,
+        hop_length=cfg.cqt_hop_length,
+    )
+    encoder = PESTOEncoder(
+        n_bins_in=n_bins, output_size=n_bins, n_modes=cfg.n_modes,
+        output_splits=("frequency", "weights"), harmonic=True,
+    )
+    decoder = Sinusoidal(
+        n_samples=cfg.n_samples, sample_rate=cfg.sample_rate,
+        amp_scale_fn=None, freq_scale_fn=None, harmonic=True,
+        apply_roll_off=cfg.apply_roll_off,
+    )
+    if cfg.transform == "identity":
+        transform = Identity()
+    else:
+        transform = STFT(n_fft=cfg.transform_n_fft, hop_length=cfg.transform_hop,
+                         sample_rate=cfg.sample_rate, window=cfg.transform_window)
+
+    # freq range 'auto': from the feature extractor's bin frequencies
+    feats = feature_extractor.get_frequencies()
+    freq_hz_min, freq_hz_max = float(feats[0]), float(feats[-1])
+
+    # loss-domain positions (reference trainer.py:183-197)
+    log_scaled = any(l.log_scaled_x for l in cfg.losses)
+    x_pos: Optional[np.ndarray] = None
+    if not isinstance(transform, Identity):
+        freqs = transform.get_frequencies()
+        if log_scaled:
+            x_pos = np.asarray(hz_to_unit(freqs, freq_hz_min, freq_hz_max))
+        else:
+            x_pos = (freqs / freqs.max()).astype(np.float32)
+
+    loss_fns = []
+    for lc in cfg.losses:
+        if lc.kind == "mss":
+            fn = losses_lib.MSSLoss(fft_sizes=lc.fft_sizes, loss_type=lc.loss_type,
+                                    mag_weight=lc.mag_weight,
+                                    logmag_weight=lc.logmag_weight)
+        elif lc.kind == "wasserstein":
+            fn = losses_lib.Wasserstein1D(
+                p=lc.p, square_dist=lc.square_dist,
+                dont_normalize=lc.dont_normalize,
+                limit_quantile_range=lc.limit_quantile_range,
+                log_scaled_x=lc.log_scaled_x)
+        else:
+            raise ValueError(f"Unknown loss kind {lc.kind}")
+        loss_fns.append((lc.kind, fn, lc.weight))
+
+    eval_metrics = {name: True for name in cfg.evaluation_metrics}
+    return Modules(
+        config=cfg, encoder=encoder, decoder=decoder,
+        feature_extractor=feature_extractor, transform=transform,
+        loss_fns=tuple(loss_fns), x_pos=x_pos,
+        freq_hz_min=freq_hz_min, freq_hz_max=freq_hz_max,
+        evaluation_metrics=eval_metrics,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pure model functions
+# ---------------------------------------------------------------------------
+
+
+def forward(mod: Modules, params: Any, x: Array, train: bool = False,
+            dropout_rng: Optional[Array] = None) -> Dict[str, Array]:
+    """Autoencoder forward (reference trainer.py:77-143).
+
+    x: [batch, n_samples]. Returns dict with x_hat, pitch_hz, pitch_unit,
+    weights, frequency logits.
+    """
+    features = mod.feature_extractor(x[:, :-1])  # drop last sample (ref parity)
+    batch, n_frames, n_bins = features.shape
+    feats = features.reshape(batch * n_frames, n_bins)
+
+    rngs = {"dropout": dropout_rng} if (train and dropout_rng is not None) else None
+    z = mod.encoder.apply(params, feats, train=train, rngs=rngs)
+
+    pitch_outputs = predict_pitch(z["frequency"],
+                                  estimation_type=mod.config.estimation_type,
+                                  temperature=mod.config.temperature)
+    pitch_unit = pitch_outputs["pitch_unit"]  # [batch*frames, 1]
+    pitch_hz = unit_to_hz(pitch_unit, mod.freq_hz_min, mod.freq_hz_max)
+
+    weights = z["weights"]  # [batch*frames, n_modes]
+
+    pitch_unit = pitch_unit.reshape(batch, n_frames, -1)
+    pitch_hz = pitch_hz.reshape(batch, n_frames, -1)
+    weights = weights.reshape(batch, n_frames, -1)
+
+    x_hat = mod.decoder(weights, pitch_hz)
+
+    return {
+        "x_hat": x_hat,
+        "pitch_unit": pitch_unit,
+        "pitch_hz": pitch_hz,
+        "weights": weights,
+        "frequency_logits": z["frequency"].reshape(batch, n_frames, -1),
+    }
+
+
+def compute_loss(mod: Modules, params: Any, x: Array, train: bool = False,
+                 dropout_rng: Optional[Array] = None
+                 ) -> Tuple[Array, Dict[str, Array]]:
+    """Loss with the reference's routing: MSS on raw audio, W1D on spectra
+    (reference trainer.py:199-245)."""
+    out = forward(mod, params, x, train=train, dropout_rng=dropout_rng)
+    x_hat = out["x_hat"]
+
+    spec_x = mod.transform(x)
+    spec_x_hat = mod.transform(x_hat)
+    pos = None if mod.x_pos is None else jnp.asarray(mod.x_pos)
+
+    total = 0.0
+    logs: Dict[str, Array] = {}
+    for kind, fn, weight in mod.loss_fns:
+        if kind == "mss":
+            value = fn(x, x_hat) * weight
+        else:
+            value = fn(spec_x, spec_x_hat, x_pos=pos, y_pos=pos) * weight
+        logs[f"loss/{type(fn).__name__}"] = value
+        total = total + value
+    logs["loss/total"] = total
+    out.update({"spec_x": spec_x, "spec_x_hat": spec_x_hat})
+    return total, (logs, out)
+
+
+def make_optimizer(cfg: ExperimentConfig) -> optax.GradientTransformation:
+    """torch.optim.Adam(lr, weight_decay) parity: coupled L2 added to the
+    gradient *before* the Adam moments (not decoupled AdamW)."""
+    return optax.chain(
+        optax.add_decayed_weights(cfg.weight_decay),
+        optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+        optax.scale(-cfg.learning_rate),
+    )
+
+
+def init_state(mod: Modules, rng: Array) -> TrainState:
+    params = mod.encoder.init(rng, jnp.zeros((2, mod.encoder.n_bins_in)))
+    opt_state = make_optimizer(mod.config).init(params)
+    return TrainState(params=params, opt_state=opt_state, step=jnp.zeros((), jnp.int32))
+
+
+def make_train_step(mod: Modules) -> Callable:
+    opt = make_optimizer(mod.config)
+
+    def train_step(state: TrainState, x: Array, rng: Array
+                   ) -> Tuple[TrainState, Dict[str, Array]]:
+        dropout_rng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(params):
+            loss, (logs, _) = compute_loss(mod, params, x, train=True,
+                                           dropout_rng=dropout_rng)
+            return loss, logs
+
+        (_, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = opt.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params=params, opt_state=opt_state,
+                               step=state.step + 1)
+        logs["grad_norm"] = optax.global_norm(grads)
+        return new_state, logs
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def make_eval_step(mod: Modules) -> Callable:
+    def eval_step(params: Any, x: Array, true_pitch: Array) -> Dict[str, Array]:
+        loss, (logs, out) = compute_loss(mod, params, x, train=False)
+        pitch_hz = out["pitch_hz"]  # [batch, frames, 1]
+        true_pitch_hz = jnp.broadcast_to(true_pitch[:, None, :], pitch_hz.shape)
+        m = metrics_lib.compute_metrics(
+            mod.evaluation_metrics, x, out["x_hat"], pitch_hz, true_pitch_hz,
+            frequency_unit=out["pitch_unit"],
+            true_frequency_unit=jnp.broadcast_to(
+                hz_to_unit(true_pitch, mod.freq_hz_min, mod.freq_hz_max)[:, None, :],
+                pitch_hz.shape),
+        )
+        m.update(logs)
+        return m
+
+    return jax.jit(eval_step)
+
+
+# ---------------------------------------------------------------------------
+# The loop
+# ---------------------------------------------------------------------------
+
+
+def evaluate(mod: Modules, eval_step: Callable, params: Any,
+             split: data_lib.SplitArrays, batch_size: int) -> Dict[str, float]:
+    sums: Dict[str, float] = {}
+    count = 0
+    for batch in data_lib.iterate_batches(split, batch_size, drop_last=False):
+        m = eval_step(params, jnp.asarray(batch["x"]),
+                      jnp.asarray(batch["frequency"]))
+        for k, v in m.items():
+            sums[k] = sums.get(k, 0.0) + float(v)
+        count += 1
+    return {k: v / max(count, 1) for k, v in sums.items()}
+
+
+def train(
+    cfg: ExperimentConfig,
+    max_steps: Optional[int] = None,
+    log_every: int = 50,
+    checkpoint_dir: Optional[str] = None,
+    log_file: Optional[str] = None,
+    splits: Optional[Dict[str, data_lib.SplitArrays]] = None,
+    resume_from: Optional[str] = None,
+) -> Tuple[TrainState, Dict[str, float]]:
+    """Full training run: returns final state + best-val metrics.
+
+    Checkpointing mirrors the reference: track min val log_spectral_distance,
+    keep the best params (save_top_k=1 'best-lsd' semantics).
+    """
+    from sot_tpu.training import checkpoint as ckpt_lib
+    from sot_tpu.training.logging import JsonlLogger
+
+    max_steps = max_steps or cfg.max_steps
+    mod = build_modules(cfg)
+
+    if splits is None:
+        if cfg.dataset_path:
+            splits = data_lib.load_pth_dataset(cfg.dataset_path)
+        else:
+            splits = data_lib.make_dataset(
+                seed=cfg.data_seed, freq_gen_min=cfg.freq_gen_min,
+                freq_gen_max=cfg.freq_gen_max, n_samples=cfg.n_samples,
+                sample_rate=cfg.sample_rate, amplitude_min=cfg.amplitude_min,
+                amplitude_max=cfg.amplitude_max, size=cfg.dataset_size,
+                n_sinusoids=cfg.n_sinusoids, n_sinusoids_min=cfg.n_sinusoids_min,
+            )
+
+    rng = jax.random.key(cfg.seed)
+    state = init_state(mod, rng)
+    start_step = 0
+    if resume_from:
+        state, start_step = ckpt_lib.restore(resume_from, state)
+
+    train_step = make_train_step(mod)
+    eval_step = make_eval_step(mod)
+    logger = JsonlLogger(log_file)
+
+    # device-resident training set: gather batches on device
+    train_split = splits["train"]
+    x_train = jnp.asarray(data_lib.peak_normalize(train_split.x))
+    n_train = x_train.shape[0]
+    steps_per_epoch = n_train // cfg.batch_size
+
+    best_lsd = float("inf")
+    best_metrics: Dict[str, float] = {}
+    best_params = state.params
+    t0 = time.time()
+    samples_done = 0
+
+    step = start_step
+    while step < max_steps:
+        epoch_order = np.arange(steps_per_epoch)
+        for b in epoch_order:
+            lo = int(b) * cfg.batch_size
+            x = jax.lax.dynamic_slice_in_dim(x_train, lo, cfg.batch_size, 0)
+            state, logs = train_step(state, x, rng)
+            step += 1
+            samples_done += cfg.batch_size
+
+            if step % log_every == 0:
+                logs = {k: float(v) for k, v in logs.items()}
+                elapsed = time.time() - t0
+                logs.update({"step": step, "samples_per_sec": samples_done / elapsed})
+                logger.write({"split": "train", **logs})
+
+            if step % cfg.eval_every_steps == 0 or step >= max_steps:
+                val = evaluate(mod, eval_step, state.params, splits["val"],
+                               cfg.batch_size)
+                logger.write({"split": "val", "step": step, **val})
+                lsd = val.get("log_spectral_distance", float("inf"))
+                if lsd < best_lsd:
+                    best_lsd = lsd
+                    best_metrics = val
+                    best_params = state.params
+                    if checkpoint_dir:
+                        ckpt_lib.save(checkpoint_dir, state, step, tag="best-lsd")
+            if step >= max_steps:
+                break
+
+    if checkpoint_dir:
+        ckpt_lib.save(checkpoint_dir, state, step, tag="last")
+    logger.close()
+    return TrainState(best_params, state.opt_state, state.step), best_metrics

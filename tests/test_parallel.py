@@ -1,0 +1,130 @@
+"""Sharded ops + DP train step on the 8-device virtual CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sot_tpu.parallel.mesh import make_mesh
+from sot_tpu.parallel.sharded_ops import (
+    stft_magnitude_frame_sharded,
+    wasserstein_1d_freq_sharded,
+)
+from sot_tpu.ops.stft import stft_magnitude
+from sot_tpu.ops.wasserstein import wasserstein_1d_same_grid
+
+
+def test_mesh_shapes():
+    mesh = make_mesh(8, freq=2)
+    assert mesh.shape == {"data": 4, "freq": 2}
+    mesh = make_mesh(8)
+    assert mesh.shape == {"data": 8, "freq": 1}
+    with pytest.raises(ValueError):
+        make_mesh(8, freq=3)
+
+
+@pytest.mark.parametrize("n_shards,size,hop", [(2, 512, 128), (4, 2048, 256),
+                                               (8, 512, 64)])
+def test_frame_sharded_stft_matches_single_device(n_shards, size, hop):
+    mesh = make_mesh(n_shards, freq=n_shards)
+    rng = np.random.default_rng(0)
+    audio = jnp.asarray(rng.standard_normal((3, 4096)).astype(np.float32))
+    sharded = stft_magnitude_frame_sharded(audio, mesh, size=size, hop_length=hop)
+    single = stft_magnitude(audio, size=size, overlap=1 - hop / size)
+    assert sharded.shape == single.shape
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(single), atol=2e-5)
+
+
+def test_frame_sharded_stft_flattop_and_grad():
+    mesh = make_mesh(4, freq=4)
+    rng = np.random.default_rng(1)
+    audio = jnp.asarray(rng.standard_normal((2, 4096)).astype(np.float32))
+
+    def loss_sharded(a):
+        return jnp.sum(stft_magnitude_frame_sharded(a, mesh, size=2048,
+                                                    hop_length=256,
+                                                    window="flattop") ** 2)
+
+    def loss_single(a):
+        return jnp.sum(stft_magnitude(a, size=2048, overlap=1 - 256 / 2048,
+                                      window="flattop") ** 2)
+
+    np.testing.assert_allclose(float(loss_sharded(audio)), float(loss_single(audio)),
+                               rtol=1e-5)
+    g_sharded = jax.grad(loss_sharded)(audio)
+    g_single = jax.grad(loss_single)(audio)
+    np.testing.assert_allclose(np.asarray(g_sharded), np.asarray(g_single),
+                               atol=1e-3)
+
+
+def test_freq_sharded_wasserstein_matches_single_device():
+    mesh = make_mesh(8, freq=2)
+    rng = np.random.default_rng(2)
+    rows, bins = 16, 256
+    grid = jnp.asarray(np.sort(rng.uniform(0, 1, bins)).astype(np.float32))
+    uw = rng.uniform(0, 1, (rows, bins)).astype(np.float32)
+    vw = rng.uniform(0, 1, (rows, bins)).astype(np.float32)
+    uw = uw / uw.sum(1, keepdims=True)
+    vw = vw / vw.sum(1, keepdims=True) * 1.3
+
+    sharded = wasserstein_1d_freq_sharded(grid, jnp.asarray(uw), jnp.asarray(vw),
+                                          mesh, p=2, limit_quantile_range=True)
+    single = wasserstein_1d_same_grid(grid, jnp.asarray(uw), jnp.asarray(vw),
+                                      p=2, limit_quantile_range=True)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(single), rtol=1e-5,
+                               atol=1e-7)
+
+
+def test_freq_sharded_wasserstein_grad():
+    mesh = make_mesh(4, freq=2)
+    rng = np.random.default_rng(3)
+    rows, bins = 8, 128
+    grid = jnp.asarray(np.linspace(0, 1, bins).astype(np.float32))
+    uw = jnp.asarray(rng.uniform(0.1, 1, (rows, bins)).astype(np.float32))
+    vw = jnp.asarray(rng.uniform(0.1, 1, (rows, bins)).astype(np.float32))
+
+    g_sharded = jax.grad(lambda v: jnp.sum(
+        wasserstein_1d_freq_sharded(grid, uw, v, mesh, p=2)))(vw)
+    g_single = jax.grad(lambda v: jnp.sum(
+        wasserstein_1d_same_grid(grid, uw, v, p=2)))(vw)
+    np.testing.assert_allclose(np.asarray(g_sharded), np.asarray(g_single),
+                               atol=1e-5)
+
+
+def test_dp_train_step_matches_single_device():
+    """DP over 8 devices == single-device step on the same global batch."""
+    from sot_tpu.configs import get_experiment
+    from sot_tpu.training.trainer import build_modules, init_state, make_train_step
+    from sot_tpu.parallel.train import make_sharded_train_step
+    from sot_tpu import data as D
+
+    # tiny CQT (higher fmin -> short kernels) for test speed
+    cfg = get_experiment("SOT-2048", batch_size=16, cqt_fmin=261.6,
+                         transform_n_fft=512, transform_hop=128, n_samples=1024)
+    cfg = cfg.replace(losses=tuple(
+        l if l.kind != "mss" else
+        type(l)(**{**l.__dict__, "fft_sizes": (512, 256)}) for l in cfg.losses))
+    mod = build_modules(cfg)
+    rng = jax.random.key(0)
+    state_a = init_state(mod, rng)
+    state_b = jax.tree.map(lambda x: x.copy(), state_a)
+
+    signals, freqs, amps = D.generate_sinusoid_dataset(
+        seed=0, size=16, n_samples=1024, render_batch=16)
+    x = jnp.asarray(D.peak_normalize(signals))
+
+    single = make_train_step(mod)
+    state_a, logs_a = single(state_a, x, rng)
+
+    mesh = make_mesh(8)
+    sharded = make_sharded_train_step(mod, mesh)
+    state_b, logs_b = sharded(state_b, x, rng)
+
+    np.testing.assert_allclose(float(logs_a["loss/total"]),
+                               float(logs_b["loss/total"]), rtol=1e-4)
+    pa = jax.tree.leaves(state_a.params)
+    pb = jax.tree.leaves(state_b.params)
+    for a, b in zip(pa, pb):
+        # Adam's first step is ~sign(g)*lr; fp reduction-order noise on
+        # near-zero grads can flip isolated elements by 2*lr.
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2.5e-4)
