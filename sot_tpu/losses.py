@@ -23,7 +23,7 @@ import numpy as np
 
 from sot_tpu.ops.numerics import safe_divide, safe_log
 from sot_tpu.ops.stft import stft_magnitude
-from sot_tpu.ops.wasserstein import wasserstein_1d
+from sot_tpu.ops.wasserstein import wasserstein_1d, wasserstein_1d_same_grid
 
 Array = jax.Array
 
@@ -112,6 +112,11 @@ class Wasserstein1D:
             x = x.reshape(-1, x.shape[-1])
         if y.ndim == 3:
             y = y.reshape(-1, y.shape[-1])
+        # same-grid detection: one shared 1D position vector for both spectra
+        # (always true in training: both STFTs sit on the same — sorted —
+        # rfft/log-frequency grid). Routes to the sort-free fused kernel.
+        same_grid = x_pos is y_pos and getattr(x_pos, "ndim", 0) == 1
+        grid_1d = x_pos if same_grid else None
         if x_pos.ndim == 3:
             x_pos = x_pos.reshape(-1, x_pos.shape[-1])
         if y_pos.ndim == 3:
@@ -132,12 +137,20 @@ class Wasserstein1D:
         else:
             y = safe_divide(y, jnp.sum(y, axis=1, keepdims=True))
 
-        loss = wasserstein_1d(
-            x_pos, y_pos, u_weights=x, v_weights=y, p=self.p,
-            require_sort=self.require_sort,
-            return_quantiles=return_quantiles,
-            limit_quantile_range=self.limit_quantile_range,
-        )
+        if same_grid and not return_quantiles:
+            # training hot path: both spectra on one shared sorted grid ->
+            # sort-free fused kernel (identical values/gradients)
+            loss = wasserstein_1d_same_grid(
+                grid_1d, x, y, p=self.p,
+                limit_quantile_range=self.limit_quantile_range,
+            )
+        else:
+            loss = wasserstein_1d(
+                x_pos, y_pos, u_weights=x, v_weights=y, p=self.p,
+                require_sort=self.require_sort,
+                return_quantiles=return_quantiles,
+                limit_quantile_range=self.limit_quantile_range,
+            )
         if return_quantiles:
             return tuple(l.reshape(original_shape + (-1,)) for l in loss)
         if self.hinge:

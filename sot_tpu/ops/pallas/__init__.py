@@ -1,0 +1,8 @@
+"""Pallas TPU kernels for the hot ops (SOT, framing, scans).
+
+Each kernel ships with an XLA fallback of identical semantics used on
+non-TPU backends (CPU tests, the multichip CPU dryrun) and for
+finite-difference/grad parity checks.
+"""
+
+from sot_tpu.ops.pallas.sot import sot_bilinear, wasserstein_same_grid  # noqa: F401

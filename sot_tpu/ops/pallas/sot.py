@@ -1,0 +1,369 @@
+"""Fused spectral-optimal-transport kernel (same-grid 1D Wasserstein).
+
+The training hot path evaluates W_p^p between two spectra that live on the
+SAME sorted frequency grid (reference losses.py:223-313 sorts + merges two
+CDFs and integrates |quantile gap|^p over the merged quantile grid; here both
+value arrays equal the rfft/log-frequency grid). Instead of translating the
+reference's sort -> cumsum -> merged-sort -> searchsorted pipeline (three
+O(n log^2 n) XLA sorts over HBM), we use an equivalent sort-free overlap
+formulation that maps onto the TPU VPU:
+
+    U_i = cumsum(u)_i, V_j = cumsum(v)_j                (CDFs, sorted)
+    cap = largest merged CDF value <= 1 if limiting the quantile range
+          (the paper's frequency cutoff, reference losses.py:306-307),
+          else max total mass
+    alpha_i = min(U_i, cap) (+ one virtual tail lane = cap, accounting for
+          the reference's index clamp at the grid end, losses.py:219-220)
+    beta_j  = min(V_j, cap) (+ tail)
+    mu_ij  = ReLU(min(alpha_i, beta_j) - max(alpha_{i-1}, beta_{j-1}))
+    W_p^p  = sum_ij  mu_ij * |g_i - g_j|^p
+
+mu_ij is the Lebesgue measure of quantile levels q where the u-inverse-CDF
+sits on grid bin i and the v-inverse-CDF on bin j — exactly the merged-grid
+segments the reference integrates, so forward values AND autograd semantics
+match the reference (gradients flow through the cumsum/min/max path into the
+weights; grid positions are static). Every term is non-negative: unlike a
+(sum of squares) - (cross term) expansion there is no cancellation as the
+two spectra converge during training.
+
+For p = 1 the integral collapses to the classic O(n) CDF-difference form
+    W_1 = sum_i |alpha_i - beta_i| * (g_{i+1} - g_i).
+
+The O(n^2) bilinear form runs as a Pallas kernel: per program, an 8-row
+block with both CDFs resident in VMEM; i-slabs of 256 grid bins broadcast
+against the full lane axis, so the n^2 plane never touches HBM. A custom
+VJP reuses the same plane structure for the four cotangents. Non-TPU
+backends use a jnp fallback with identical math (and lax.min/max tie
+conventions) so CPU tests and the multichip dryrun need no TPU.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+_ROWS_PER_PROGRAM = 128  # lane-dim tile of the transposed CDFs
+_SLAB = 256  # i-dimension sublane slab size
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _grid_dist_pow(d: Array, p: float) -> Array:
+    if p == 2.0:
+        return d * d
+    if p == 1.0:
+        return jnp.abs(d)
+    return jnp.abs(d) ** p
+
+
+# ---------------------------------------------------------------------------
+# XLA fallback (CPU tests, dryrun, parity checks) — plain autodiff
+# ---------------------------------------------------------------------------
+
+
+def _sot_bilinear_xla(alpha: Array, beta: Array, g: Array, p: float) -> Array:
+    """Dense jnp version of sum_ij mu_ij |g_i-g_j|^p. [rows, n] -> [rows]."""
+    gamma = jnp.pad(alpha, ((0, 0), (1, 0)))[:, :-1]
+    delta = jnp.pad(beta, ((0, 0), (1, 0)))[:, :-1]
+    mu = jax.nn.relu(
+        jnp.minimum(alpha[:, :, None], beta[:, None, :])
+        - jnp.maximum(gamma[:, :, None], delta[:, None, :])
+    )
+    dist = _grid_dist_pow(g[:, None] - g[None, :], p)
+    return jnp.sum(mu * dist[None], axis=(1, 2))
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernels
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(alpha_t_ref, gamma_t_ref, beta_t_ref, delta_t_ref, g_t_ref,
+                out_ref, *, p: float):
+    """One program: W for a 128-row block, everything in [n, rows] layout.
+
+    i (the u-side grid bin) advances sequentially in sublane-groups of 8;
+    for each i the full [n_j, rows] plane is an elementwise min/max/relu
+    against the resident beta/delta slabs — rows ride the 128 lanes, j rides
+    sublanes, so no transposes or dynamic lane indexing are needed.
+    """
+    import jax.experimental.pallas as pl
+
+    n = alpha_t_ref.shape[0]
+    r_lanes = alpha_t_ref.shape[1]
+    beta_t = beta_t_ref[:]      # [n, R]
+    delta_t = delta_t_ref[:]
+    g_col = g_t_ref[:]          # [n, 1]
+
+    def outer(k, acc):
+        base = pl.multiple_of(k * 8, 8)
+        a_blk = alpha_t_ref[pl.ds(base, 8), :]   # [8, R]
+        c_blk = gamma_t_ref[pl.ds(base, 8), :]
+        g_blk = g_t_ref[pl.ds(base, 8), :]       # [8, 1]
+        for t in range(8):
+            a_row = a_blk[t : t + 1, :]          # [1, R]
+            c_row = c_blk[t : t + 1, :]
+            gi = g_blk[t : t + 1, :]             # [1, 1]
+            d2 = _grid_dist_pow(g_col - gi, p)   # [n, 1]
+            mu = jax.nn.relu(jnp.minimum(a_row, beta_t)
+                             - jnp.maximum(c_row, delta_t))  # [n, R]
+            acc = acc + jnp.sum(mu * d2, axis=0, keepdims=True)  # [1, R]
+        return acc
+
+    acc = jax.lax.fori_loop(0, n // 8, outer,
+                            jnp.zeros((1, r_lanes), jnp.float32))
+    out_ref[0] = acc
+
+
+def _bwd_kernel(alpha_t_ref, gamma_t_ref, beta_t_ref, delta_t_ref, g_t_ref,
+                wbar_ref, da_t_ref, dc_t_ref, db_t_ref, dd_t_ref,
+                db_scratch, dd_scratch, *, p: float):
+    import jax.experimental.pallas as pl
+
+    n = alpha_t_ref.shape[0]
+    beta_t = beta_t_ref[:]
+    delta_t = delta_t_ref[:]
+    g_col = g_t_ref[:]
+    wb = wbar_ref[0]            # [1, R]
+    db_scratch[:] = jnp.zeros_like(db_scratch)
+    dd_scratch[:] = jnp.zeros_like(dd_scratch)
+
+    def outer(k, _):
+        base = pl.multiple_of(k * 8, 8)
+        a_blk = alpha_t_ref[pl.ds(base, 8), :]
+        c_blk = gamma_t_ref[pl.ds(base, 8), :]
+        g_blk = g_t_ref[pl.ds(base, 8), :]
+        da_rows = []
+        dc_rows = []
+        for t in range(8):
+            a_row = a_blk[t : t + 1, :]
+            c_row = c_blk[t : t + 1, :]
+            gi = g_blk[t : t + 1, :]
+            d2 = _grid_dist_pow(g_col - gi, p)           # [n, 1]
+            lo = jnp.maximum(c_row, delta_t)             # [n, R]
+            hi = jnp.minimum(a_row, beta_t)
+            m = (hi > lo).astype(jnp.float32)
+            k_plane = m * d2 * wb                        # [n, R]
+            # d mu / d alpha_i: 1 if a<b, 0.5 at ties (lax.min convention)
+            wa = jnp.where(a_row < beta_t, 1.0,
+                           jnp.where(a_row == beta_t, 0.5, 0.0))
+            wc = jnp.where(c_row > delta_t, 1.0,
+                           jnp.where(c_row == delta_t, 0.5, 0.0))
+            da_rows.append(jnp.sum(k_plane * wa, axis=0, keepdims=True))
+            dc_rows.append(-jnp.sum(k_plane * wc, axis=0, keepdims=True))
+            db_scratch[:] = db_scratch[:] + k_plane * (1.0 - wa)
+            dd_scratch[:] = dd_scratch[:] - k_plane * (1.0 - wc)
+        da_t_ref[pl.ds(base, 8), :] = jnp.concatenate(da_rows, axis=0)
+        dc_t_ref[pl.ds(base, 8), :] = jnp.concatenate(dc_rows, axis=0)
+        return 0
+
+    jax.lax.fori_loop(0, n // 8, outer, 0)
+    db_t_ref[:] = db_scratch[:]
+    dd_t_ref[:] = dd_scratch[:]
+
+
+def _pad_rows_cols(x: Array, rows_p: int, n_p: int) -> Array:
+    rows, n = x.shape
+    return jnp.pad(x, ((0, rows_p - rows), (0, n_p - n)))
+
+
+def _interpret() -> bool:
+    return bool(os.environ.get("SOT_TPU_PALLAS_INTERPRET"))
+
+
+def _prep(alpha, beta, rows_p, n_p):
+    alpha_p = _pad_rows_cols(alpha, rows_p, n_p)
+    beta_p = _pad_rows_cols(beta, rows_p, n_p)
+    gamma_p = jnp.pad(alpha_p, ((0, 0), (1, 0)))[:, :-1]
+    delta_p = jnp.pad(beta_p, ((0, 0), (1, 0)))[:, :-1]
+    return alpha_p.T, gamma_p.T, beta_p.T, delta_p.T
+
+
+def _pallas_fwd(alpha: Array, beta: Array, g: Array, p: float) -> Array:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    rows, n = alpha.shape
+    n_p = _round_up(n, _SLAB)
+    rows_p = _round_up(rows, _ROWS_PER_PROGRAM)
+    # zero padding is inert: padded intervals are empty => mu = 0
+    alpha_t, gamma_t, beta_t, delta_t = _prep(alpha, beta, rows_p, n_p)
+    g_p = jnp.pad(g, (0, n_p - n))
+
+    n_prog = rows_p // _ROWS_PER_PROGRAM
+    col_block = lambda i: (0, i)
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, p=p),
+        grid=(n_prog,),
+        in_specs=[
+            pl.BlockSpec((n_p, _ROWS_PER_PROGRAM), col_block,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_p, _ROWS_PER_PROGRAM), col_block,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_p, _ROWS_PER_PROGRAM), col_block,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_p, _ROWS_PER_PROGRAM), col_block,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_p, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, _ROWS_PER_PROGRAM), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_prog, 1, _ROWS_PER_PROGRAM),
+                                       jnp.float32),
+        interpret=_interpret(),
+    )(alpha_t, gamma_t, beta_t, delta_t, g_p[:, None])
+    return out.reshape(rows_p)[:rows]
+
+
+def _pallas_bwd(alpha: Array, beta: Array, g: Array, p: float, wbar: Array
+                ) -> Tuple[Array, Array]:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    rows, n = alpha.shape
+    n_p = _round_up(n, _SLAB)
+    rows_p = _round_up(rows, _ROWS_PER_PROGRAM)
+    alpha_t, gamma_t, beta_t, delta_t = _prep(alpha, beta, rows_p, n_p)
+    g_p = jnp.pad(g, (0, n_p - n))
+    n_prog = rows_p // _ROWS_PER_PROGRAM
+    wbar_p = jnp.pad(wbar, (0, rows_p - rows)).reshape(
+        n_prog, 1, _ROWS_PER_PROGRAM)
+
+    col_block = lambda i: (0, i)
+    cdf_spec = pl.BlockSpec((n_p, _ROWS_PER_PROGRAM), col_block,
+                            memory_space=pltpu.VMEM)
+    da_t, dc_t, db_t, dd_t = pl.pallas_call(
+        functools.partial(_bwd_kernel, p=p),
+        grid=(n_prog,),
+        in_specs=[
+            cdf_spec, cdf_spec, cdf_spec, cdf_spec,
+            pl.BlockSpec((n_p, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, _ROWS_PER_PROGRAM), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[cdf_spec, cdf_spec, cdf_spec, cdf_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_p, rows_p), jnp.float32)
+            for _ in range(4)
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((n_p, _ROWS_PER_PROGRAM), jnp.float32),
+            pltpu.VMEM((n_p, _ROWS_PER_PROGRAM), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(alpha_t, gamma_t, beta_t, delta_t, g_p[:, None], wbar_p)
+    # fold the gamma/delta (shift-by-one) chain rule back onto alpha/beta:
+    # gamma_i = alpha_{i-1}  =>  dalpha_i += dgamma_{i+1}  (the padded
+    # column n's cotangent is identically zero, so including it when
+    # n_p > n is a no-op; when n_p == n we append an explicit zero)
+    def _shift_left(dg_arr: Array) -> Array:
+        dg_arr = dg_arr[:rows]
+        if n_p > n:
+            return dg_arr[:, 1 : n + 1]
+        return jnp.concatenate(
+            [dg_arr[:, 1:n], jnp.zeros((rows, 1), dg_arr.dtype)], axis=-1)
+
+    da = da_t.T[:rows, :n] + _shift_left(dc_t.T)
+    db_full = db_t.T[:rows, :n] + _shift_left(dd_t.T)
+    return da, db_full
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _sot_bilinear_pallas(alpha: Array, beta: Array, g: Array, p: float) -> Array:
+    return _pallas_fwd(alpha, beta, g, p)
+
+
+def _sot_fwd(alpha, beta, g, p):
+    return _pallas_fwd(alpha, beta, g, p), (alpha, beta, g)
+
+
+def _sot_bwd(p, res, wbar):
+    alpha, beta, g = res
+    da, db = _pallas_bwd(alpha, beta, g, p, wbar)
+    return da, db, jnp.zeros_like(g)
+
+
+_sot_bilinear_pallas.defvjp(_sot_fwd, _sot_bwd)
+
+
+def _use_pallas() -> bool:
+    if os.environ.get("SOT_TPU_DISABLE_PALLAS"):
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def sot_bilinear(alpha: Array, beta: Array, g: Array, p: float = 2.0,
+                 use_pallas: bool | None = None) -> Array:
+    """sum_ij ReLU(min(a_i,b_j) - max(a_{i-1},b_{j-1})) |g_i-g_j|^p, per row.
+
+    alpha, beta: [rows, n] nondecreasing clipped CDFs; g: [n] sorted grid.
+    Differentiable in alpha/beta (grid is static). Dispatches to the fused
+    Pallas kernel on TPU, dense jnp elsewhere.
+    """
+    alpha = jnp.asarray(alpha, jnp.float32)
+    beta = jnp.asarray(beta, jnp.float32)
+    g = jnp.asarray(g, jnp.float32)
+    if use_pallas is None:
+        use_pallas = _use_pallas()
+    if use_pallas:
+        return _sot_bilinear_pallas(alpha, beta, g, float(p))
+    return _sot_bilinear_xla(alpha, beta, g, float(p))
+
+
+# ---------------------------------------------------------------------------
+# Same-grid Wasserstein entry point
+# ---------------------------------------------------------------------------
+
+
+def wasserstein_same_grid(
+    grid: Array,
+    u_weights: Array,
+    v_weights: Array,
+    p: float = 2.0,
+    limit_quantile_range: bool = False,
+    use_pallas: bool | None = None,
+) -> Array:
+    """W_p^p between weight rows on one shared sorted grid. [rows].
+
+    Matches reference losses.py:223-313 for u_values == v_values == grid
+    (sorted): identical forward values and gradient paths, without the three
+    sorts. ``limit_quantile_range`` integrates quantile levels over [0, Q*]
+    with Q* the largest merged CDF value <= 1 — exactly the reference's
+    "zero all merged segments whose right endpoint exceeds 1".
+    """
+    u_weights = jnp.asarray(u_weights, jnp.float32)
+    v_weights = jnp.asarray(v_weights, jnp.float32)
+    grid = jnp.asarray(grid, jnp.float32)
+    rows, n = u_weights.shape
+
+    U = jnp.cumsum(u_weights, axis=-1)
+    V = jnp.cumsum(v_weights, axis=-1)
+    if limit_quantile_range:
+        cap = jnp.maximum(
+            jnp.max(jnp.where(U <= 1.0, U, 0.0), axis=-1),
+            jnp.max(jnp.where(V <= 1.0, V, 0.0), axis=-1),
+        )[:, None]
+    else:
+        cap = jnp.maximum(U[:, -1], V[:, -1])[:, None]
+    # one virtual tail lane at level cap: the reference clamps quantile
+    # lookups past the grid end to the last bin (losses.py:219-220)
+    alpha = jnp.concatenate([jnp.minimum(U, cap), cap], axis=-1)
+    beta = jnp.concatenate([jnp.minimum(V, cap), cap], axis=-1)
+    gaug = jnp.concatenate([grid, grid[-1:]], axis=-1)
+
+    if p == 1.0:
+        dg = gaug[1:] - gaug[:-1]
+        return jnp.sum(jnp.abs(alpha[:, :-1] - beta[:, :-1]) * dg[None, :], -1)
+    return sot_bilinear(alpha, beta, gaug, p=p, use_pallas=use_pallas)

@@ -123,26 +123,22 @@ def wasserstein_1d_same_grid(
 ) -> Array:
     """Fast path: both distributions live on one shared *sorted* grid.
 
-    This is the training hot path (both spectra sit on the same rfft frequency
-    grid): no value sort is needed, only cumsum + merge + inverse-CDF. Wired
-    for replacement by the fused Pallas kernel.
+    This is the training hot path (both spectra sit on the same rfft
+    frequency grid): the merged quantile integral is computed sort-free via
+    the overlap bilinear form (fused Pallas kernel on TPU; see
+    sot_tpu.ops.pallas.sot), with an O(n) closed form for p=1. Matches
+    ``wasserstein_1d(grid, grid, ...)`` in values and gradients.
 
     Args:
-      grid: [n] or [rows, n] sorted support positions.
+      grid: [n] sorted support positions (shared by both distributions).
       u_weights, v_weights: [rows, n].
     Returns: [rows] W_p^p.
     """
-    rows, n = u_weights.shape
-    if grid.ndim == 1:
-        grid_rows = jnp.broadcast_to(grid[None, :], (rows, n))
-    else:
-        grid_rows = grid
-    return wasserstein_1d(
-        grid_rows,
-        grid_rows,
-        u_weights=u_weights,
-        v_weights=v_weights,
-        p=p,
-        require_sort=False,
+    from sot_tpu.ops.pallas.sot import wasserstein_same_grid
+
+    if grid.ndim != 1:
+        grid = grid[0]
+    return wasserstein_same_grid(
+        grid, u_weights, v_weights, p=p,
         limit_quantile_range=limit_quantile_range,
     )
