@@ -87,93 +87,127 @@ def _sot_bilinear_xla(alpha: Array, beta: Array, g: Array, p: float) -> Array:
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(alpha_t_ref, gamma_t_ref, beta_t_ref, delta_t_ref, g_t_ref,
-                out_ref, *, p: float):
+def _fwd_kernel(lo_ref, hi_ref, alpha_t_ref, gamma_t_ref, beta_t_ref,
+                delta_t_ref, g_t_ref, out_ref, *, p: float):
     """One program: W for a 128-row block, everything in [n, rows] layout.
 
     i (the u-side grid bin) advances sequentially in sublane-groups of 8;
-    for each i the full [n_j, rows] plane is an elementwise min/max/relu
-    against the resident beta/delta slabs — rows ride the 128 lanes, j rides
-    sublanes, so no transposes or dynamic lane indexing are needed.
+    for each group only the j-slabs inside the precomputed active band
+    [lo, hi) are touched (CDF monotonicity makes the mu support a staircase
+    band — for harmonic spectra most of the n^2 plane is provably zero).
+    Rows ride the 128 lanes, j rides sublanes: no transposes and no dynamic
+    lane indexing.
     """
     import jax.experimental.pallas as pl
 
     n = alpha_t_ref.shape[0]
     r_lanes = alpha_t_ref.shape[1]
-    beta_t = beta_t_ref[:]      # [n, R]
-    delta_t = delta_t_ref[:]
-    g_col = g_t_ref[:]          # [n, 1]
 
-    def outer(k, acc):
-        base = pl.multiple_of(k * 8, 8)
+    def group(g, acc):
+        base = pl.multiple_of(g * 8, 8)
         a_blk = alpha_t_ref[pl.ds(base, 8), :]   # [8, R]
         c_blk = gamma_t_ref[pl.ds(base, 8), :]
         g_blk = g_t_ref[pl.ds(base, 8), :]       # [8, 1]
-        for t in range(8):
-            a_row = a_blk[t : t + 1, :]          # [1, R]
-            c_row = c_blk[t : t + 1, :]
-            gi = g_blk[t : t + 1, :]             # [1, 1]
-            d2 = _grid_dist_pow(g_col - gi, p)   # [n, 1]
-            mu = jax.nn.relu(jnp.minimum(a_row, beta_t)
-                             - jnp.maximum(c_row, delta_t))  # [n, R]
-            acc = acc + jnp.sum(mu * d2, axis=0, keepdims=True)  # [1, R]
-        return acc
+        j_lo = lo_ref[0, 0, g]
+        j_hi = hi_ref[0, 0, g]
 
-    acc = jax.lax.fori_loop(0, n // 8, outer,
+        def slab(s, acc):
+            off = pl.multiple_of(s * _SLAB, _SLAB)
+            beta_s = beta_t_ref[pl.ds(off, _SLAB), :]     # [J, R]
+            delta_s = delta_t_ref[pl.ds(off, _SLAB), :]
+            g_s = g_t_ref[pl.ds(off, _SLAB), :]           # [J, 1]
+            for t in range(8):
+                a_row = a_blk[t : t + 1, :]               # [1, R]
+                c_row = c_blk[t : t + 1, :]
+                gi = g_blk[t : t + 1, :]                  # [1, 1]
+                d2 = _grid_dist_pow(g_s - gi, p)          # [J, 1]
+                mu = jax.nn.relu(jnp.minimum(a_row, beta_s)
+                                 - jnp.maximum(c_row, delta_s))  # [J, R]
+                acc = acc + jnp.sum(mu * d2, axis=0, keepdims=True)
+            return acc
+
+        return jax.lax.fori_loop(j_lo, j_hi, slab, acc)
+
+    acc = jax.lax.fori_loop(0, n // 8, group,
                             jnp.zeros((1, r_lanes), jnp.float32))
     out_ref[0] = acc
 
 
-def _bwd_kernel(alpha_t_ref, gamma_t_ref, beta_t_ref, delta_t_ref, g_t_ref,
-                wbar_ref, da_t_ref, dc_t_ref, db_t_ref, dd_t_ref,
-                db_scratch, dd_scratch, *, p: float):
+def _bwd_kernel(lo_ref, hi_ref, alpha_t_ref, gamma_t_ref, beta_t_ref,
+                delta_t_ref, g_t_ref, wbar_ref, da_t_ref, dc_t_ref,
+                db_t_ref, dd_t_ref, db_scratch, dd_scratch, *, p: float):
     import jax.experimental.pallas as pl
 
     n = alpha_t_ref.shape[0]
-    beta_t = beta_t_ref[:]
-    delta_t = delta_t_ref[:]
-    g_col = g_t_ref[:]
+    r_lanes = alpha_t_ref.shape[1]
     wb = wbar_ref[0]            # [1, R]
     db_scratch[:] = jnp.zeros_like(db_scratch)
     dd_scratch[:] = jnp.zeros_like(dd_scratch)
 
-    def outer(k, _):
-        base = pl.multiple_of(k * 8, 8)
+    def group(g, _):
+        base = pl.multiple_of(g * 8, 8)
         a_blk = alpha_t_ref[pl.ds(base, 8), :]
         c_blk = gamma_t_ref[pl.ds(base, 8), :]
         g_blk = g_t_ref[pl.ds(base, 8), :]
-        da_rows = []
-        dc_rows = []
-        for t in range(8):
-            a_row = a_blk[t : t + 1, :]
-            c_row = c_blk[t : t + 1, :]
-            gi = g_blk[t : t + 1, :]
-            d2 = _grid_dist_pow(g_col - gi, p)           # [n, 1]
-            lo = jnp.maximum(c_row, delta_t)             # [n, R]
-            hi = jnp.minimum(a_row, beta_t)
-            m = (hi > lo).astype(jnp.float32)
-            k_plane = m * d2 * wb                        # [n, R]
-            # d mu / d alpha_i: 1 if a<b, 0.5 at ties (lax.min convention)
-            wa = jnp.where(a_row < beta_t, 1.0,
-                           jnp.where(a_row == beta_t, 0.5, 0.0))
-            wc = jnp.where(c_row > delta_t, 1.0,
-                           jnp.where(c_row == delta_t, 0.5, 0.0))
-            da_rows.append(jnp.sum(k_plane * wa, axis=0, keepdims=True))
-            dc_rows.append(-jnp.sum(k_plane * wc, axis=0, keepdims=True))
-            db_scratch[:] = db_scratch[:] + k_plane * (1.0 - wa)
-            dd_scratch[:] = dd_scratch[:] - k_plane * (1.0 - wc)
+        j_lo = lo_ref[0, 0, g]
+        j_hi = hi_ref[0, 0, g]
+        zero_row = jnp.zeros((1, r_lanes), jnp.float32)
+
+        def slab(s, carry):
+            da_acc, dc_acc = carry
+            off = pl.multiple_of(s * _SLAB, _SLAB)
+            beta_s = beta_t_ref[pl.ds(off, _SLAB), :]
+            delta_s = delta_t_ref[pl.ds(off, _SLAB), :]
+            g_s = g_t_ref[pl.ds(off, _SLAB), :]
+            db_acc = jnp.zeros((_SLAB, r_lanes), jnp.float32)
+            dd_acc = jnp.zeros((_SLAB, r_lanes), jnp.float32)
+            da_new = []
+            dc_new = []
+            for t in range(8):
+                a_row = a_blk[t : t + 1, :]
+                c_row = c_blk[t : t + 1, :]
+                gi = g_blk[t : t + 1, :]
+                d2 = _grid_dist_pow(g_s - gi, p)              # [J, 1]
+                lo = jnp.maximum(c_row, delta_s)              # [J, R]
+                hi = jnp.minimum(a_row, beta_s)
+                m = (hi > lo).astype(jnp.float32)
+                k_plane = m * d2 * wb                         # [J, R]
+                # d mu/d alpha_i: 1 if a<b, 0.5 at ties (lax.min convention)
+                wa = jnp.where(a_row < beta_s, 1.0,
+                               jnp.where(a_row == beta_s, 0.5, 0.0))
+                wc = jnp.where(c_row > delta_s, 1.0,
+                               jnp.where(c_row == delta_s, 0.5, 0.0))
+                da_new.append(da_acc[t] + jnp.sum(k_plane * wa, axis=0,
+                                                  keepdims=True))
+                dc_new.append(dc_acc[t] - jnp.sum(k_plane * wc, axis=0,
+                                                  keepdims=True))
+                db_acc = db_acc + k_plane * (1.0 - wa)
+                dd_acc = dd_acc - k_plane * (1.0 - wc)
+            db_scratch[pl.ds(off, _SLAB), :] = (
+                db_scratch[pl.ds(off, _SLAB), :] + db_acc)
+            dd_scratch[pl.ds(off, _SLAB), :] = (
+                dd_scratch[pl.ds(off, _SLAB), :] + dd_acc)
+            return tuple(da_new), tuple(dc_new)
+
+        init = (tuple(zero_row for _ in range(8)),
+                tuple(zero_row for _ in range(8)))
+        da_rows, dc_rows = jax.lax.fori_loop(j_lo, j_hi, slab, init)
         da_t_ref[pl.ds(base, 8), :] = jnp.concatenate(da_rows, axis=0)
         dc_t_ref[pl.ds(base, 8), :] = jnp.concatenate(dc_rows, axis=0)
         return 0
 
-    jax.lax.fori_loop(0, n // 8, outer, 0)
+    jax.lax.fori_loop(0, n // 8, group, 0)
     db_t_ref[:] = db_scratch[:]
     dd_t_ref[:] = dd_scratch[:]
 
 
 def _pad_rows_cols(x: Array, rows_p: int, n_p: int) -> Array:
+    """Pad columns with the edge value (empty [cap, cap] intervals => mu = 0,
+    and CDF monotonicity — which the band limits rely on — is preserved),
+    then rows with zeros (all-empty rows, discarded after the kernel)."""
     rows, n = x.shape
-    return jnp.pad(x, ((0, rows_p - rows), (0, n_p - n)))
+    x = jnp.pad(x, ((0, 0), (0, n_p - n)), mode="edge")
+    return jnp.pad(x, ((0, rows_p - rows), (0, 0)))
 
 
 def _interpret() -> bool:
@@ -185,7 +219,45 @@ def _prep(alpha, beta, rows_p, n_p):
     beta_p = _pad_rows_cols(beta, rows_p, n_p)
     gamma_p = jnp.pad(alpha_p, ((0, 0), (1, 0)))[:, :-1]
     delta_p = jnp.pad(beta_p, ((0, 0), (1, 0)))[:, :-1]
-    return alpha_p.T, gamma_p.T, beta_p.T, delta_p.T
+    return alpha_p, gamma_p, beta_p, delta_p
+
+
+def _band_limits(alpha_p, gamma_p, beta_p, delta_p, n_prog):
+    """Active j-slab range [j_lo, j_hi) per (program, i-group). [n_prog, G].
+
+    A slab s is provably inert for i-group g over the whole 128-row block if
+    for every row either the slab's top CDF value is below the group's
+    bottom (beta_end < gamma_base => mu = 0) or the slab's bottom exceeds
+    the group's top (delta_start > alpha_end => mu = 0). Both predicates are
+    monotone in s, so the active set is a contiguous slab range.
+    """
+    rows_p, n_p = alpha_p.shape
+    n_groups = n_p // 8
+    n_slabs = n_p // _SLAB
+    r = rows_p // n_prog
+    gamma_base = gamma_p[:, ::8].reshape(n_prog, r, n_groups)
+    alpha_end = alpha_p[:, 7::8].reshape(n_prog, r, n_groups)
+    beta_end = beta_p[:, _SLAB - 1 :: _SLAB].reshape(n_prog, r, n_slabs)
+    delta_start = delta_p[:, ::_SLAB].reshape(n_prog, r, n_slabs)
+    below = jnp.all(beta_end[:, :, :, None] < gamma_base[:, :, None, :],
+                    axis=1)   # [n_prog, n_slabs, n_groups]
+    above = jnp.all(delta_start[:, :, :, None] > alpha_end[:, :, None, :],
+                    axis=1)
+    # Padded zero columns break beta_end/delta_start monotonicity in the
+    # tail slab, so count the contiguous prefix/suffix runs rather than
+    # summing the predicates (a below=True beyond a below=False slab must
+    # not shift the range start past real work).
+    j_lo = jnp.sum(jnp.cumprod(below.astype(jnp.int32), axis=1), axis=1)
+    j_hi = n_slabs - jnp.sum(
+        jnp.cumprod(above.astype(jnp.int32)[:, ::-1, :], axis=1), axis=1)
+    j_hi = jnp.maximum(j_hi, j_lo)
+    # saturated i-groups (alpha_end <= gamma_base in every row: all quantile
+    # intervals empty, e.g. the CDF tail past the last harmonic) do no work
+    empty = jnp.all(
+        alpha_end[:, :, None, :] <= gamma_base[:, :, None, :], axis=1
+    )[:, 0, :]
+    j_hi = jnp.where(empty, j_lo, j_hi)
+    return j_lo, j_hi
 
 
 def _pallas_fwd(alpha: Array, beta: Array, g: Array, p: float) -> Array:
@@ -196,23 +268,23 @@ def _pallas_fwd(alpha: Array, beta: Array, g: Array, p: float) -> Array:
     n_p = _round_up(n, _SLAB)
     rows_p = _round_up(rows, _ROWS_PER_PROGRAM)
     # zero padding is inert: padded intervals are empty => mu = 0
-    alpha_t, gamma_t, beta_t, delta_t = _prep(alpha, beta, rows_p, n_p)
+    alpha_p, gamma_p, beta_p, delta_p = _prep(alpha, beta, rows_p, n_p)
     g_p = jnp.pad(g, (0, n_p - n))
-
     n_prog = rows_p // _ROWS_PER_PROGRAM
+    j_lo, j_hi = _band_limits(alpha_p, gamma_p, beta_p, delta_p, n_prog)
+    n_groups = n_p // 8
+
     col_block = lambda i: (0, i)
+    cdf_spec = pl.BlockSpec((n_p, _ROWS_PER_PROGRAM), col_block,
+                            memory_space=pltpu.VMEM)
+    smem_spec = pl.BlockSpec((1, 1, n_groups), lambda i: (i, 0, 0),
+                             memory_space=pltpu.SMEM)
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, p=p),
         grid=(n_prog,),
         in_specs=[
-            pl.BlockSpec((n_p, _ROWS_PER_PROGRAM), col_block,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_p, _ROWS_PER_PROGRAM), col_block,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_p, _ROWS_PER_PROGRAM), col_block,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_p, _ROWS_PER_PROGRAM), col_block,
-                         memory_space=pltpu.VMEM),
+            smem_spec, smem_spec,
+            cdf_spec, cdf_spec, cdf_spec, cdf_spec,
             pl.BlockSpec((n_p, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, _ROWS_PER_PROGRAM), lambda i: (i, 0, 0),
@@ -220,7 +292,8 @@ def _pallas_fwd(alpha: Array, beta: Array, g: Array, p: float) -> Array:
         out_shape=jax.ShapeDtypeStruct((n_prog, 1, _ROWS_PER_PROGRAM),
                                        jnp.float32),
         interpret=_interpret(),
-    )(alpha_t, gamma_t, beta_t, delta_t, g_p[:, None])
+    )(j_lo[:, None, :], j_hi[:, None, :], alpha_p.T, gamma_p.T, beta_p.T,
+      delta_p.T, g_p[:, None])
     return out.reshape(rows_p)[:rows]
 
 
@@ -232,19 +305,24 @@ def _pallas_bwd(alpha: Array, beta: Array, g: Array, p: float, wbar: Array
     rows, n = alpha.shape
     n_p = _round_up(n, _SLAB)
     rows_p = _round_up(rows, _ROWS_PER_PROGRAM)
-    alpha_t, gamma_t, beta_t, delta_t = _prep(alpha, beta, rows_p, n_p)
+    alpha_p, gamma_p, beta_p, delta_p = _prep(alpha, beta, rows_p, n_p)
     g_p = jnp.pad(g, (0, n_p - n))
     n_prog = rows_p // _ROWS_PER_PROGRAM
+    j_lo, j_hi = _band_limits(alpha_p, gamma_p, beta_p, delta_p, n_prog)
+    n_groups = n_p // 8
     wbar_p = jnp.pad(wbar, (0, rows_p - rows)).reshape(
         n_prog, 1, _ROWS_PER_PROGRAM)
 
     col_block = lambda i: (0, i)
     cdf_spec = pl.BlockSpec((n_p, _ROWS_PER_PROGRAM), col_block,
                             memory_space=pltpu.VMEM)
+    smem_spec = pl.BlockSpec((1, 1, n_groups), lambda i: (i, 0, 0),
+                             memory_space=pltpu.SMEM)
     da_t, dc_t, db_t, dd_t = pl.pallas_call(
         functools.partial(_bwd_kernel, p=p),
         grid=(n_prog,),
         in_specs=[
+            smem_spec, smem_spec,
             cdf_spec, cdf_spec, cdf_spec, cdf_spec,
             pl.BlockSpec((n_p, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, _ROWS_PER_PROGRAM), lambda i: (i, 0, 0),
@@ -260,7 +338,8 @@ def _pallas_bwd(alpha: Array, beta: Array, g: Array, p: float, wbar: Array
             pltpu.VMEM((n_p, _ROWS_PER_PROGRAM), jnp.float32),
         ],
         interpret=_interpret(),
-    )(alpha_t, gamma_t, beta_t, delta_t, g_p[:, None], wbar_p)
+    )(j_lo[:, None, :], j_hi[:, None, :], alpha_p.T, gamma_p.T, beta_p.T,
+      delta_p.T, g_p[:, None], wbar_p)
     # fold the gamma/delta (shift-by-one) chain rule back onto alpha/beta:
     # gamma_i = alpha_{i-1}  =>  dalpha_i += dgamma_{i+1}  (the padded
     # column n's cotangent is identically zero, so including it when
@@ -366,4 +445,20 @@ def wasserstein_same_grid(
     if p == 1.0:
         dg = gaug[1:] - gaug[:-1]
         return jnp.sum(jnp.abs(alpha[:, :-1] - beta[:, :-1]) * dg[None, :], -1)
+
+    if use_pallas is None:
+        use_pallas = _use_pallas()
+    if use_pallas and rows >= 2 * _ROWS_PER_PROGRAM:
+        # The kernel's band limits are per 128-row block (AND over rows).
+        # Rows are per (clip, frame) and clips differ wildly in f0, so group
+        # similar rows: sort by the CDF's half-mass bin (differentiable
+        # gather; inverse-permute the per-row results after). Empirically
+        # this recovers most of the ~60% per-row-skippable work.
+        key = jnp.sum((alpha < 0.5 * cap).astype(jnp.int32), axis=-1)
+        order = jnp.argsort(key)
+        inv = jnp.argsort(order)
+        w = sot_bilinear(jnp.take(alpha, order, axis=0),
+                         jnp.take(beta, order, axis=0),
+                         gaug, p=p, use_pallas=True)
+        return jnp.take(w, inv)
     return sot_bilinear(alpha, beta, gaug, p=p, use_pallas=use_pallas)

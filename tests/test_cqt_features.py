@@ -10,7 +10,7 @@ from sot_tpu.features import get_transform, STFT, CQT, Identity
 
 
 def test_kernel_bank_geometry():
-    k_real, k_imag, freqs, width = build_cqt_kernels(16000, 32.7, 285, 36)
+    k_real, k_imag, freqs, width, _lengths = build_cqt_kernels(16000, 32.7, 285, 36)
     assert k_real.shape == (width, 285)
     # power-of-2 width covering the longest (lowest-frequency) kernel
     q = 1.0 / (2 ** (1 / 36) - 1)

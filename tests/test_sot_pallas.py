@@ -175,3 +175,48 @@ def test_loss_module_same_grid_dispatch_matches_general():
     general = loss(x, y, x_pos=pos, y_pos=jnp.array(pos))
     np.testing.assert_allclose(float(fused), float(general),
                                rtol=2e-4, atol=1e-7)
+
+
+def test_pallas_band_skip_concentrated_mass_multi_slab():
+    """Regression: spectra with mass concentrated in low bins + tail padding.
+
+    Exercises the band-skip limits across multiple 256-bin j-slabs where the
+    padded zero columns break beta_end monotonicity (the bug: summing the
+    'below' predicate instead of its contiguous prefix skipped real slabs).
+    """
+    os.environ["SOT_TPU_PALLAS_INTERPRET"] = "1"
+    try:
+        rng = np.random.default_rng(7)
+        rows, n = 16, 1026  # pads to 1280: 5 slabs
+        grid = jnp.asarray(np.linspace(0, 1, n).astype(np.float32))
+        # mass concentrated in the first ~100 bins, tiny tail
+        base = np.zeros((rows, n), np.float32)
+        base[:, :100] = rng.random((rows, 100)).astype(np.float32)
+        base[:, 100:] = 1e-6 * rng.random((rows, n - 100)).astype(np.float32)
+        u = base / base.sum(-1, keepdims=True)
+        v = np.roll(base, 1, axis=0)
+        v = v / v.sum(-1, keepdims=True) * 0.93
+        U = jnp.cumsum(jnp.asarray(u), -1)
+        V = jnp.cumsum(jnp.asarray(v), -1)
+        cap = jnp.maximum(U[:, -1], V[:, -1])[:, None]
+        alpha = jnp.minimum(U, cap)
+        beta = jnp.minimum(V, cap)
+        ref = _sot_bilinear_xla(alpha, beta, grid, 2.0)
+        out = sot_bilinear(alpha, beta, grid, p=2.0, use_pallas=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=1e-9)
+
+        def fx(a, b):
+            return jnp.sum(sot_bilinear(a, b, grid, p=2.0, use_pallas=False))
+
+        def fp(a, b):
+            return jnp.sum(sot_bilinear(a, b, grid, p=2.0, use_pallas=True))
+
+        gx = jax.grad(fx, argnums=(0, 1))(alpha, beta)
+        gp_ = jax.grad(fp, argnums=(0, 1))(alpha, beta)
+        for a, b in zip(gx, gp_):
+            sc = float(jnp.max(jnp.abs(a))) + 1e-12
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       atol=1e-5 * sc)
+    finally:
+        os.environ.pop("SOT_TPU_PALLAS_INTERPRET", None)
