@@ -31,10 +31,48 @@ def _save_resolved_config(cfg, out_dir: str) -> None:
         json.dump(dataclasses.asdict(cfg), fh, indent=2, default=str)
 
 
+def _load_config_files(paths) -> dict:
+    """YAML/JSON config overrides, with master-config expansion: a file whose
+    top level has a ``configs:`` list pulls in those files in order, later
+    entries overriding earlier ones (reference train.py:209-236)."""
+    import yaml
+
+    merged: dict = {}
+    for path in paths:
+        with open(path) as fh:
+            doc = yaml.safe_load(fh) or {}
+        if isinstance(doc, dict) and "configs" in doc:
+            sub = [os.path.join(os.path.dirname(path), c)
+                   if not os.path.isabs(c) else c for c in doc.pop("configs")]
+            merged.update(_load_config_files(sub))
+        if not isinstance(doc, dict):
+            raise ValueError(f"config {path} must be a mapping")
+        merged.update(doc)
+    return merged
+
+
+def _parse_set_overrides(pairs) -> dict:
+    """--set key=value generic field overrides (typed via json parsing)."""
+    out = {}
+    for pair in pairs or ():
+        key, _, value = pair.partition("=")
+        try:
+            out[key] = json.loads(value)
+        except json.JSONDecodeError:
+            out[key] = value
+    return out
+
+
 def cmd_train(args: argparse.Namespace) -> int:
     from sot_tpu.training.trainer import train
 
     overrides = {}
+    if args.config:
+        file_overrides = _load_config_files(args.config)
+        experiment = file_overrides.pop("experiment", args.experiment)
+        overrides.update(file_overrides)
+    else:
+        experiment = args.experiment
     if args.seed is not None:
         overrides["seed"] = args.seed
     if args.batch_size is not None:
@@ -45,7 +83,8 @@ def cmd_train(args: argparse.Namespace) -> int:
         overrides["dataset_size"] = args.dataset_size
     if args.eval_every is not None:
         overrides["eval_every_steps"] = args.eval_every
-    cfg = get_experiment(args.experiment, **overrides)
+    overrides.update(_parse_set_overrides(args.set))
+    cfg = get_experiment(experiment, **overrides)
 
     out = args.out or f"runs/{cfg.name}-{cfg.seed}"
     os.makedirs(out, exist_ok=True)
@@ -57,6 +96,7 @@ def cmd_train(args: argparse.Namespace) -> int:
         checkpoint_dir=os.path.join(out, "checkpoints"),
         log_file=os.path.join(out, "log.jsonl"),
         resume_from=args.resume,
+        figure_dir=out if args.figures else None,
     )
     with open(os.path.join(out, "best_metrics.json"), "w") as fh:
         json.dump(best, fh, indent=2)
@@ -127,6 +167,13 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--eval-every", type=int, default=None)
     t.add_argument("--out", default=None)
     t.add_argument("--resume", default=None, help="checkpoint path to resume from")
+    t.add_argument("--config", action="append", default=None,
+                   help="YAML/JSON config override file (repeatable; a "
+                        "'configs:' list inside expands to more files)")
+    t.add_argument("--set", action="append", default=None, metavar="KEY=VAL",
+                   help="generic config field override (repeatable)")
+    t.add_argument("--figures", action="store_true",
+                   help="write spectrum/probability figures each eval epoch")
     t.set_defaults(fn=cmd_train)
 
     e = sub.add_parser("evaluate", help="evaluate a checkpoint")

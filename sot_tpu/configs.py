@@ -59,6 +59,8 @@ class ExperimentConfig:
     temperature: float = 0.1
     estimation_type: str = "soft-argmax"
     apply_roll_off: bool = False
+    detach_weights: bool = False  # ablation: stop grads through amp head
+                                  # (reference trainer.py:136-140)
 
     # feature extractor (encoder input)
     cqt_fmin: float = 32.7

@@ -144,3 +144,67 @@ def get_transform(transform: Union[str, dict, None], sample_rate: int) -> Transf
     if name == "identity":
         return Identity()
     raise ValueError(f"Unknown transform {name}")
+
+
+# ---------------------------------------------------------------------------
+# Loudness (reference features.py:240-288)
+# ---------------------------------------------------------------------------
+
+
+def a_weighting_db(frequencies: np.ndarray, min_db: float = -80.0) -> np.ndarray:
+    """IEC 61672 A-weighting curve in dB (librosa.A_weighting semantics).
+
+    The reference obtains this from librosa (features.py:265-266); here it is
+    the closed-form pole/zero expression, clamped at ``min_db``.
+    """
+    f = np.asarray(frequencies, np.float64)
+    f2 = f * f
+    c1, c2, c3, c4 = 20.6**2, 107.7**2, 737.9**2, 12194.0**2
+    num = c4 * f2 * f2
+    den = (f2 + c1) * np.sqrt((f2 + c2) * (f2 + c3)) * (f2 + c4)
+    with np.errstate(divide="ignore"):
+        weights = 2.0 + 20.0 * (np.log10(num) - np.log10(den))
+    return np.maximum(weights, min_db).astype(np.float32)
+
+
+def a_weighting_from_audio(
+    audio: Array,
+    num_fft: int,
+    hopsize: int,
+    sample_rate: int = 16000,
+    weighting: Optional[Array] = None,
+) -> Array:
+    """Per-frame A-weighted loudness in dB (reference features.py:240-279).
+
+    torch.stft semantics: centre reflect padding, rectangular window,
+    unnormalised; power spectrum weighted by the linear-scale A-curve,
+    averaged over frequency, then power_to_db(ref_db=0, range_db=80).
+    Returns [batch, n_frames] (or [n_frames] for 1D input).
+    """
+    from sot_tpu.ops.numerics import power_to_db
+    from sot_tpu.ops.stft import stft_magnitude
+
+    audio = jnp.asarray(audio, jnp.float32)
+    is_1d = audio.ndim == 1
+    if is_1d:
+        audio = audio[None]
+    mag = stft_magnitude(
+        audio, size=num_fft, overlap=1.0 - hopsize / num_fft, window="ones",
+        normalized=False, center=True,
+    )  # [batch, frames, bins]
+    power = mag * mag
+    if weighting is None:
+        freqs = rfft_frequencies(num_fft, sample_rate)
+        weighting = jnp.asarray(10.0 ** (a_weighting_db(freqs) / 10.0))
+    power = power * weighting
+    avg_power = jnp.mean(power, axis=-1)  # over frequency
+    loudness = power_to_db(avg_power, ref_db=0.0, range_db=80.0)
+    return loudness[0] if is_1d else loudness
+
+
+def get_loudness(audio: Array, hopsize: int, num_fft: int = 1024,
+                 sample_rate: int = 16000,
+                 weighting: Optional[Array] = None) -> Array:
+    """Normalised loudness in ~[0, 1] (reference features.py:282-288)."""
+    return (a_weighting_from_audio(audio, num_fft, hopsize, sample_rate,
+                                   weighting=weighting) + 50.0) / 80.0

@@ -85,11 +85,15 @@ def stft_magnitude(
     pad_end: bool = True,
     normalized: bool = True,
     time_major: bool = True,
+    center: bool = False,
 ) -> Array:
     """Magnitude STFT of [batch, T] audio -> [batch, frames, size//2+1].
 
     Matches the reference ``compute_mag`` (features.py:191-237): hann window
     by default, center=False, pad_end=True, divided by sqrt(size).
+    ``center=True`` reflect-pads size//2 each side and frames without end
+    padding (torch.stft center semantics, used by the loudness path,
+    reference features.py:251-259); ``window='ones'`` is rectangular.
     """
     audio = jnp.asarray(audio, jnp.float32)
     squeeze = audio.ndim == 1
@@ -99,10 +103,22 @@ def stft_magnitude(
     if window is None:
         win = hann_window(size)
     elif isinstance(window, str):
-        win = get_window(window, size)
+        win = (jnp.ones(size, jnp.float32) if window == "ones"
+               else get_window(window, size))
     else:
         win = jnp.asarray(window, jnp.float32)
-    frames = frame_signal(audio, size, hop_length, pad_end=pad_end)
+    if center:
+        half = size // 2
+        audio = jnp.pad(audio, [(0, 0)] * (audio.ndim - 1) + [(half, half)],
+                        mode="reflect")
+        # torch.stft: n_frames = 1 + floor(T / hop) after centre padding
+        t = audio.shape[-1]
+        n_frames = 1 + (t - size) // hop_length
+        idx = (np.arange(n_frames)[:, None] * hop_length
+               + np.arange(size)[None, :])
+        frames = audio[..., idx]
+    else:
+        frames = frame_signal(audio, size, hop_length, pad_end=pad_end)
     spec = jnp.fft.rfft(frames * win, axis=-1)
     mag = complex_magnitude(spec)
     if normalized:

@@ -147,6 +147,10 @@ def forward(mod: Modules, params: Any, x: Array, train: bool = False,
     pitch_hz = unit_to_hz(pitch_unit, mod.freq_hz_min, mod.freq_hz_max)
 
     weights = z["weights"]  # [batch*frames, n_modes]
+    if mod.config.detach_weights:
+        # ablation: train the pitch head only; amplitudes carry no gradient
+        # (reference trainer.py:136-140)
+        weights = jax.lax.stop_gradient(weights)
 
     pitch_unit = pitch_unit.reshape(batch, n_frames, -1)
     pitch_hz = pitch_hz.reshape(batch, n_frames, -1)
@@ -228,6 +232,26 @@ def make_train_step(mod: Modules) -> Callable:
     return jax.jit(train_step, donate_argnums=(0,))
 
 
+def make_viz_step(mod: Modules) -> Callable:
+    """jitted forward returning the arrays the figure gallery needs
+    (reference plot_and_log inputs, plot_log_utils.py:61-145)."""
+
+    def viz_step(params: Any, x: Array) -> Dict[str, Array]:
+        _, (logs, out) = compute_loss(mod, params, x, train=False)
+        probs = jax.nn.softmax(
+            out["frequency_logits"] / mod.config.temperature, axis=-1)
+        return {
+            "x": x,
+            "x_hat": out["x_hat"],
+            "spec_x": out["spec_x"],
+            "spec_x_hat": out["spec_x_hat"],
+            "probabilities": probs[:, 0],  # first frame of sample
+            "pitch_hz": out["pitch_hz"],
+        }
+
+    return jax.jit(viz_step)
+
+
 def make_eval_step(mod: Modules) -> Callable:
     def eval_step(params: Any, x: Array, true_pitch: Array) -> Dict[str, Array]:
         loss, (logs, out) = compute_loss(mod, params, x, train=False)
@@ -272,6 +296,7 @@ def train(
     log_file: Optional[str] = None,
     splits: Optional[Dict[str, data_lib.SplitArrays]] = None,
     resume_from: Optional[str] = None,
+    figure_dir: Optional[str] = None,
 ) -> Tuple[TrainState, Dict[str, float]]:
     """Full training run: returns final state + best-val metrics.
 
@@ -305,6 +330,13 @@ def train(
     train_step = make_train_step(mod)
     eval_step = make_eval_step(mod)
     logger = JsonlLogger(log_file)
+    from sot_tpu.training.observability import FigureLogger
+
+    fig_logger = FigureLogger(figure_dir)
+    viz_step = make_viz_step(mod) if fig_logger.enabled else None
+    feat_freqs = mod.feature_extractor.get_frequencies()
+    trans_freqs = (None if isinstance(mod.transform, Identity)
+                   else mod.transform.get_frequencies())
 
     # device-resident training set: gather batches on device
     train_split = splits["train"]
@@ -318,9 +350,12 @@ def train(
     t0 = time.time()
     samples_done = 0
 
+    shuffle_rng = np.random.default_rng(cfg.seed)
     step = start_step
     while step < max_steps:
-        epoch_order = np.arange(steps_per_epoch)
+        # reshuffle batch order every epoch (the reference's DataLoader
+        # shuffles; order is host-side so batches stay static-shaped slices)
+        epoch_order = shuffle_rng.permutation(steps_per_epoch)
         for b in epoch_order:
             lo = int(b) * cfg.batch_size
             x = jax.lax.dynamic_slice_in_dim(x_train, lo, cfg.batch_size, 0)
@@ -338,6 +373,18 @@ def train(
                 val = evaluate(mod, eval_step, state.params, splits["val"],
                                cfg.batch_size)
                 logger.write({"split": "val", "step": step, **val})
+                if viz_step is not None:
+                    vb = next(data_lib.iterate_batches(
+                        splits["val"], cfg.batch_size, drop_last=False))
+                    outs = viz_step(state.params, jnp.asarray(vb["x"]))
+                    outs = {k: np.asarray(v) for k, v in outs.items()}
+                    outs["true_frequency_unit"] = np.asarray(hz_to_unit(
+                        vb["frequency"][:1, 0], mod.freq_hz_min,
+                        mod.freq_hz_max))
+                    fig_logger.plot_and_log(
+                        step, "val", outs,
+                        transform_frequencies=trans_freqs,
+                        feature_frequencies=feat_freqs)
                 lsd = val.get("log_spectral_distance", float("inf"))
                 if lsd < best_lsd:
                     best_lsd = lsd

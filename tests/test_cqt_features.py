@@ -102,3 +102,46 @@ def test_stft_transform_reduce_and_log():
     np.testing.assert_allclose(red, np.mean(np.asarray(full), axis=1), atol=1e-6)
     lg = tr(audio, log=True)
     assert (np.asarray(lg) <= np.log(np.asarray(full) + 1e-5) + 1e-4).all()
+
+
+def test_loudness_matches_torch_reference_semantics():
+    """a_weighting/get_loudness vs torch.stft-based reference computation
+    (reference features.py:240-288; librosa's A-curve replaced with the
+    closed-form IEC 61672 expression it implements)."""
+    import torch
+
+    from sot_tpu.features import a_weighting_db, a_weighting_from_audio, get_loudness
+
+    rng = np.random.default_rng(0)
+    audio = rng.standard_normal((3, 4096)).astype(np.float32) * 0.3
+    num_fft, hop = 1024, 256
+
+    # torch reference path (rectangular window, center=True, unnormalised)
+    S = torch.stft(torch.as_tensor(audio.copy()), n_fft=num_fft,
+                   hop_length=hop, win_length=num_fft, center=True,
+                   return_complex=True)
+    power = S.abs().numpy() ** 2  # [batch, freq, frames]
+    freqs = np.fft.rfftfreq(num_fft, 1 / 16000)
+    aw = 10.0 ** (a_weighting_db(freqs) / 10.0)
+    avg_power = (power * aw[None, :, None]).mean(axis=1)  # over freq
+    pmin = 10.0 ** -8.0
+    ref_db = 10.0 * np.log10(np.maximum(avg_power, pmin))
+    ref_db = np.maximum(ref_db, -80.0)
+
+    ours = np.asarray(a_weighting_from_audio(audio, num_fft, hop))
+    assert ours.shape == ref_db.shape
+    np.testing.assert_allclose(ours, ref_db, rtol=1e-4, atol=1e-3)
+
+    loud = np.asarray(get_loudness(audio[0], hop, num_fft))
+    np.testing.assert_allclose(loud, (ref_db[0] + 50.0) / 80.0,
+                               rtol=1e-4, atol=1e-3)
+
+
+def test_a_weighting_known_values():
+    # A-weighting is 0 dB at 1 kHz by construction; ~ -19.1 dB at 100 Hz
+    from sot_tpu.features import a_weighting_db
+
+    w = a_weighting_db(np.array([1000.0, 100.0, 20.0]))
+    assert abs(w[0]) < 0.02
+    assert abs(w[1] - (-19.1)) < 0.2
+    assert abs(w[2] - (-50.5)) < 0.5

@@ -1,0 +1,70 @@
+"""Observability (L9) and CLI config plumbing tests."""
+
+import json
+import os
+
+import numpy as np
+
+
+def test_figure_logger_writes_gallery(tmp_path):
+    from sot_tpu.training.observability import FigureLogger
+
+    rng = np.random.default_rng(0)
+    fl = FigureLogger(str(tmp_path))
+    outputs = {
+        "x": rng.standard_normal((2, 256)).astype(np.float32),
+        "x_hat": rng.standard_normal((2, 256)).astype(np.float32),
+        "spec_x": np.abs(rng.standard_normal((2, 4, 33))).astype(np.float32),
+        "spec_x_hat": np.abs(rng.standard_normal((2, 4, 33))).astype(np.float32),
+        "probabilities": np.abs(rng.standard_normal((2, 285))).astype(np.float32),
+        "true_frequency_unit": np.array([0.4]),
+    }
+    freqs = np.linspace(32.7, 8000, 285).astype(np.float32)
+    tfreqs = np.linspace(0, 8000, 33).astype(np.float32)
+    fl.plot_and_log(100, "val", outputs, transform_frequencies=tfreqs,
+                    feature_frequencies=freqs)
+    d = tmp_path / "figures" / "step100"
+    names = sorted(p.name for p in d.iterdir())
+    assert "Signal_val_Original_Signal.png" in names
+    assert "Signal_val_Reconstructed_Spectrum.png" in names
+    assert "Signal_val_Original_vs_Reconstructed.png" in names
+    assert "Signal_val_Probabilities.png" in names
+
+
+def test_figure_logger_disabled_is_noop():
+    from sot_tpu.training.observability import FigureLogger
+
+    fl = FigureLogger(None)
+    fl.log_signal(0, "val", "x", np.zeros((2, 8)))  # must not raise
+
+
+def test_cli_yaml_config_and_master_expansion(tmp_path):
+    import yaml
+
+    from sot_tpu.cli import _load_config_files, _parse_set_overrides
+
+    base = tmp_path / "base.yaml"
+    base.write_text(yaml.safe_dump({"batch_size": 16, "seed": 7}))
+    child = tmp_path / "child.yaml"
+    child.write_text(yaml.safe_dump({"seed": 9}))
+    master = tmp_path / "master.yaml"
+    master.write_text(yaml.safe_dump(
+        {"configs": ["base.yaml", "child.yaml"], "max_steps": 10}))
+    merged = _load_config_files([str(master)])
+    assert merged == {"batch_size": 16, "seed": 9, "max_steps": 10}
+
+    o = _parse_set_overrides(["learning_rate=0.001", "transform_window=flattop"])
+    assert o == {"learning_rate": 0.001, "transform_window": "flattop"}
+
+
+def test_train_loop_writes_figures(tmp_path):
+    from sot_tpu.configs import get_experiment
+    from sot_tpu.training.trainer import train
+
+    cfg = get_experiment(
+        "SOT-512", batch_size=8, n_samples=1024, cqt_fmin=261.6,
+        dataset_size=32, eval_every_steps=2,
+    )
+    train(cfg, max_steps=2, log_every=1, figure_dir=str(tmp_path))
+    figs = list((tmp_path / "figures").rglob("*.png"))
+    assert len(figs) >= 4
