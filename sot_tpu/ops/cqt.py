@@ -100,17 +100,17 @@ def cqt_magnitude(
     if center:
         pad = kernel_width // 2
         audio = jnp.pad(audio, ((0, 0), (pad, pad)))
-    # Strided conv lowering: XLA's TPU conv handles the 99%-overlapping
-    # windows without materialising an im2col frames tensor (measured ~1.4x
-    # faster than the explicit [B, F, W] gather + matmul at paper shapes);
-    # one conv covers both quadratures via 2*n_bins output channels.
-    bank = np.concatenate([k_real, k_imag], axis=1)  # [W, 2*n_bins]
-    kern = jnp.asarray(bank.T[:, None, :])  # [2*n_bins, 1, W]
-    proj = jax.lax.conv_general_dilated(
-        audio[:, None, :], kern, window_strides=(hop_length,),
-        padding="VALID", dimension_numbers=("NCH", "OIH", "NCH"),
-        preferred_element_type=jnp.float32)
-    proj = jnp.swapaxes(proj, 1, 2)  # [batch, n_frames, 2*n_bins]
+    total = audio.shape[-1]
+    n_frames = (total - kernel_width) // hop_length + 1
+    # One fused real matmul for both quadratures: [B, F, W] @ [W, 2*n_bins].
+    # (A strided conv lowering was tried and measured ~1.3x slower than the
+    # explicit frame gather + MXU matmul at paper shapes.)
+    idx = (np.arange(n_frames)[:, None] * hop_length
+           + np.arange(kernel_width)[None, :])
+    frames = audio[:, idx]  # [batch, n_frames, kernel_width]
+    bank = jnp.asarray(np.concatenate([k_real, k_imag], axis=1))
+    proj = jnp.einsum("bfw,wn->bfn", frames, bank,
+                      preferred_element_type=jnp.float32)
     re, im = proj[..., :n_bins], proj[..., n_bins:]
     return _complex_abs(re, im)
 

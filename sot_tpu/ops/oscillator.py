@@ -107,7 +107,11 @@ def oscillator_bank(
     if use_angular_cumsum:
         phases = angular_cumsum(omegas)
     else:
-        phases = jnp.cumsum(omegas, axis=1)
+        # blocked tri-matmul prefix (MXU) — XLA's cumsum lowers to a slow
+        # reduce-window on TPU; same tree-reduction numerics class
+        from sot_tpu.ops.scan import prefix_sum
+
+        phases = prefix_sum(omegas, axis=1)
 
     wavs = jnp.sin(phases)
     audio = amplitude_envelopes * wavs

@@ -422,13 +422,15 @@ def wasserstein_same_grid(
     with Q* the largest merged CDF value <= 1 — exactly the reference's
     "zero all merged segments whose right endpoint exceeds 1".
     """
+    from sot_tpu.ops.scan import prefix_sum
+
     u_weights = jnp.asarray(u_weights, jnp.float32)
     v_weights = jnp.asarray(v_weights, jnp.float32)
     grid = jnp.asarray(grid, jnp.float32)
     rows, n = u_weights.shape
 
-    U = jnp.cumsum(u_weights, axis=-1)
-    V = jnp.cumsum(v_weights, axis=-1)
+    U = prefix_sum(u_weights, axis=-1)
+    V = prefix_sum(v_weights, axis=-1)
     if limit_quantile_range:
         cap = jnp.maximum(
             jnp.max(jnp.where(U <= 1.0, U, 0.0), axis=-1),
