@@ -21,6 +21,7 @@ kernel-soft-argmax / regression heads (reference encoder.py:304-365).
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Dict, Optional, Sequence, Tuple
 
@@ -44,6 +45,57 @@ def _torch_uniform_init(fan_in: int):
     return init
 
 
+def _toeplitz_matrix(w: Array, in_f: int, out_f: int) -> Array:
+    """T[i, j] = w[i - j + out_f - 1] via a shear reshape — no gather.
+
+    Broadcasting w to in_f+1 rows and re-viewing with a row stride of
+    n_w + 1 shifts each row one step right, so arr[i, j'] = w[i + j'];
+    flipping the first out_f columns yields the Toeplitz matrix. TPU
+    gathers/scatters of this matrix were the encoder's top backward cost
+    (2-3 ms/step); this build is pads/reshapes only.
+    """
+    n_w = in_f + out_f - 1  # == w.shape[0]
+    big = jnp.broadcast_to(w, (in_f + 1, n_w)).reshape(-1)
+    arr = big[: in_f * (n_w + 1)].reshape(in_f, n_w + 1)  # arr[i,j'] = w[i+j']
+    return arr[:, :out_f][:, ::-1]
+
+
+def _diag_sums(g: Array, in_f: int, out_f: int) -> Array:
+    """dw[k] = sum_j g[j + k - (out_f - 1), j] via the same shear, no gather.
+
+    With M = flip(g.T): dw[k] = sum_r M[r, k - r]; padding M's rows to
+    width in_f + out_f and re-viewing with row stride n_w aligns each
+    diagonal into a column (out-of-range reads land in the zero padding).
+    """
+    n_w = in_f + out_f - 1
+    m = jnp.pad(g.T[::-1, :], ((0, 0), (0, out_f)))  # [out_f, in_f + out_f]
+    flat = m.reshape(-1)
+    arr = flat[: out_f * n_w].reshape(out_f, n_w)
+    return jnp.sum(arr, axis=0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _toeplitz_apply(x: Array, w: Array, in_f: int, out_f: int) -> Array:
+    """y[b, j] = sum_i x[b, i] * w[i - j + out_f - 1] as an MXU matmul."""
+    return jnp.dot(x, _toeplitz_matrix(w, in_f, out_f),
+                   preferred_element_type=jnp.float32)
+
+
+def _toeplitz_fwd(x, w, in_f, out_f):
+    t = _toeplitz_matrix(w, in_f, out_f)
+    return (jnp.dot(x, t, preferred_element_type=jnp.float32), (x, t))
+
+
+def _toeplitz_bwd(in_f, out_f, res, dy):
+    x, t = res
+    dx = jnp.dot(dy, t.T, preferred_element_type=jnp.float32)
+    g = jnp.dot(x.T, dy, preferred_element_type=jnp.float32)  # [in, out]
+    return dx, _diag_sums(g, in_f, out_f)
+
+
+_toeplitz_apply.defvjp(_toeplitz_fwd, _toeplitz_bwd)
+
+
 class ToeplitzLinear(nn.Module):
     """Linear layer constrained to a Toeplitz matrix (weight sharing along
     diagonals): in+out-1 parameters, applied as an MXU matmul.
@@ -59,10 +111,7 @@ class ToeplitzLinear(nn.Module):
     def __call__(self, x: Array) -> Array:
         n_w = self.in_features + self.out_features - 1
         w = self.param("kernel", _torch_uniform_init(n_w), (n_w,))
-        i = np.arange(self.in_features)[:, None]
-        j = np.arange(self.out_features)[None, :]
-        toeplitz = w[jnp.asarray(i - j + self.out_features - 1)]
-        return jnp.dot(x, toeplitz, preferred_element_type=jnp.float32)
+        return _toeplitz_apply(x, w, self.in_features, self.out_features)
 
 
 class _Conv(nn.Module):
