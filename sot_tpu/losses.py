@@ -94,6 +94,9 @@ class Wasserstein1D:
     limit_quantile_range: bool = False
     hinge: Union[bool, float] = False
     square_dist: bool = False
+    # x (the target spectrum) is input data with no gradient: lets the fused
+    # kernel skip the target-side cotangents (training always sets this)
+    target_constant: bool = False
 
     name = "Wasserstein1D"
 
@@ -143,6 +146,7 @@ class Wasserstein1D:
             loss = wasserstein_1d_same_grid(
                 grid_1d, x, y, p=self.p,
                 limit_quantile_range=self.limit_quantile_range,
+                target_constant=self.target_constant,
             )
         else:
             loss = wasserstein_1d(

@@ -134,10 +134,18 @@ def _fwd_kernel(lo_ref, hi_ref, alpha_t_ref, gamma_t_ref, beta_t_ref,
 
 
 def _bwd_kernel(lo_ref, hi_ref, alpha_t_ref, gamma_t_ref, beta_t_ref,
-                delta_t_ref, g_t_ref, wbar_ref, da_t_ref, dc_t_ref,
-                db_t_ref, dd_t_ref, db_scratch, dd_scratch, *, p: float):
+                delta_t_ref, g_t_ref, wbar_ref, *out_refs, p: float,
+                alpha_grads: bool):
+    """Cotangent planes. With ``alpha_grads=False`` (the training case:
+    the target spectrum is input data, no gradient needed) only the
+    beta-side cotangents are produced, skipping two lane-reductions per
+    plane and the alpha-side output traffic."""
     import jax.experimental.pallas as pl
 
+    if alpha_grads:
+        da_t_ref, dc_t_ref, db_t_ref, dd_t_ref, db_scratch, dd_scratch = out_refs
+    else:
+        db_t_ref, dd_t_ref, db_scratch, dd_scratch = out_refs
     n = alpha_t_ref.shape[0]
     r_lanes = alpha_t_ref.shape[1]
     wb = wbar_ref[0]            # [1, R]
@@ -177,23 +185,29 @@ def _bwd_kernel(lo_ref, hi_ref, alpha_t_ref, gamma_t_ref, beta_t_ref,
                                jnp.where(a_row == beta_s, 0.5, 0.0))
                 wc = jnp.where(c_row > delta_s, 1.0,
                                jnp.where(c_row == delta_s, 0.5, 0.0))
-                da_new.append(da_acc[t] + jnp.sum(k_plane * wa, axis=0,
-                                                  keepdims=True))
-                dc_new.append(dc_acc[t] - jnp.sum(k_plane * wc, axis=0,
-                                                  keepdims=True))
-                db_acc = db_acc + k_plane * (1.0 - wa)
-                dd_acc = dd_acc - k_plane * (1.0 - wc)
+                kw = k_plane * wa
+                kc = k_plane * wc
+                if alpha_grads:
+                    da_new.append(da_acc[t] + jnp.sum(kw, axis=0,
+                                                      keepdims=True))
+                    dc_new.append(dc_acc[t] - jnp.sum(kc, axis=0,
+                                                      keepdims=True))
+                db_acc = db_acc + (k_plane - kw)
+                dd_acc = dd_acc + (kc - k_plane)
             db_scratch[pl.ds(off, _SLAB), :] = (
                 db_scratch[pl.ds(off, _SLAB), :] + db_acc)
             dd_scratch[pl.ds(off, _SLAB), :] = (
                 dd_scratch[pl.ds(off, _SLAB), :] + dd_acc)
+            if not alpha_grads:
+                return carry
             return tuple(da_new), tuple(dc_new)
 
         init = (tuple(zero_row for _ in range(8)),
                 tuple(zero_row for _ in range(8)))
         da_rows, dc_rows = jax.lax.fori_loop(j_lo, j_hi, slab, init)
-        da_t_ref[pl.ds(base, 8), :] = jnp.concatenate(da_rows, axis=0)
-        dc_t_ref[pl.ds(base, 8), :] = jnp.concatenate(dc_rows, axis=0)
+        if alpha_grads:
+            da_t_ref[pl.ds(base, 8), :] = jnp.concatenate(da_rows, axis=0)
+            dc_t_ref[pl.ds(base, 8), :] = jnp.concatenate(dc_rows, axis=0)
         return 0
 
     jax.lax.fori_loop(0, n // 8, group, 0)
@@ -297,8 +311,8 @@ def _pallas_fwd(alpha: Array, beta: Array, g: Array, p: float) -> Array:
     return out.reshape(rows_p)[:rows]
 
 
-def _pallas_bwd(alpha: Array, beta: Array, g: Array, p: float, wbar: Array
-                ) -> Tuple[Array, Array]:
+def _pallas_bwd(alpha: Array, beta: Array, g: Array, p: float, wbar: Array,
+                alpha_grads: bool = True) -> Tuple[Array, Array]:
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -318,8 +332,9 @@ def _pallas_bwd(alpha: Array, beta: Array, g: Array, p: float, wbar: Array
                             memory_space=pltpu.VMEM)
     smem_spec = pl.BlockSpec((1, 1, n_groups), lambda i: (i, 0, 0),
                              memory_space=pltpu.SMEM)
-    da_t, dc_t, db_t, dd_t = pl.pallas_call(
-        functools.partial(_bwd_kernel, p=p),
+    n_outs = 4 if alpha_grads else 2
+    outs = pl.pallas_call(
+        functools.partial(_bwd_kernel, p=p, alpha_grads=alpha_grads),
         grid=(n_prog,),
         in_specs=[
             smem_spec, smem_spec,
@@ -328,10 +343,10 @@ def _pallas_bwd(alpha: Array, beta: Array, g: Array, p: float, wbar: Array
             pl.BlockSpec((1, 1, _ROWS_PER_PROGRAM), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[cdf_spec, cdf_spec, cdf_spec, cdf_spec],
+        out_specs=[cdf_spec] * n_outs,
         out_shape=[
             jax.ShapeDtypeStruct((n_p, rows_p), jnp.float32)
-            for _ in range(4)
+            for _ in range(n_outs)
         ],
         scratch_shapes=[
             pltpu.VMEM((n_p, _ROWS_PER_PROGRAM), jnp.float32),
@@ -340,6 +355,10 @@ def _pallas_bwd(alpha: Array, beta: Array, g: Array, p: float, wbar: Array
         interpret=_interpret(),
     )(j_lo[:, None, :], j_hi[:, None, :], alpha_p.T, gamma_p.T, beta_p.T,
       delta_p.T, g_p[:, None], wbar_p)
+    if alpha_grads:
+        da_t, dc_t, db_t, dd_t = outs
+    else:
+        db_t, dd_t = outs
     # fold the gamma/delta (shift-by-one) chain rule back onto alpha/beta:
     # gamma_i = alpha_{i-1}  =>  dalpha_i += dgamma_{i+1}  (the padded
     # column n's cotangent is identically zero, so including it when
@@ -351,8 +370,10 @@ def _pallas_bwd(alpha: Array, beta: Array, g: Array, p: float, wbar: Array
         return jnp.concatenate(
             [dg_arr[:, 1:n], jnp.zeros((rows, 1), dg_arr.dtype)], axis=-1)
 
-    da = da_t.T[:rows, :n] + _shift_left(dc_t.T)
     db_full = db_t.T[:rows, :n] + _shift_left(dd_t.T)
+    if not alpha_grads:
+        return jnp.zeros_like(db_full), db_full
+    da = da_t.T[:rows, :n] + _shift_left(dc_t.T)
     return da, db_full
 
 
@@ -374,6 +395,28 @@ def _sot_bwd(p, res, wbar):
 _sot_bilinear_pallas.defvjp(_sot_fwd, _sot_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _sot_bilinear_pallas_target_const(alpha: Array, beta: Array, g: Array,
+                                      p: float) -> Array:
+    """Variant declaring alpha (the target spectrum's CDF) constant: its
+    cotangent is zero and the bwd kernel skips the alpha-side reductions.
+    Used by the training loss where the target is input data."""
+    return _pallas_fwd(alpha, beta, g, p)
+
+
+def _sot_fwd_tc(alpha, beta, g, p):
+    return _pallas_fwd(alpha, beta, g, p), (alpha, beta, g)
+
+
+def _sot_bwd_tc(p, res, wbar):
+    alpha, beta, g = res
+    da, db = _pallas_bwd(alpha, beta, g, p, wbar, alpha_grads=False)
+    return da, db, jnp.zeros_like(g)
+
+
+_sot_bilinear_pallas_target_const.defvjp(_sot_fwd_tc, _sot_bwd_tc)
+
+
 def _use_pallas() -> bool:
     if os.environ.get("SOT_TPU_DISABLE_PALLAS"):
         return False
@@ -384,7 +427,8 @@ def _use_pallas() -> bool:
 
 
 def sot_bilinear(alpha: Array, beta: Array, g: Array, p: float = 2.0,
-                 use_pallas: bool | None = None) -> Array:
+                 use_pallas: bool | None = None,
+                 target_constant: bool = False) -> Array:
     """sum_ij ReLU(min(a_i,b_j) - max(a_{i-1},b_{j-1})) |g_i-g_j|^p, per row.
 
     alpha, beta: [rows, n] nondecreasing clipped CDFs; g: [n] sorted grid.
@@ -397,6 +441,8 @@ def sot_bilinear(alpha: Array, beta: Array, g: Array, p: float = 2.0,
     if use_pallas is None:
         use_pallas = _use_pallas()
     if use_pallas:
+        if target_constant:
+            return _sot_bilinear_pallas_target_const(alpha, beta, g, float(p))
         return _sot_bilinear_pallas(alpha, beta, g, float(p))
     return _sot_bilinear_xla(alpha, beta, g, float(p))
 
@@ -413,6 +459,7 @@ def wasserstein_same_grid(
     p: float = 2.0,
     limit_quantile_range: bool = False,
     use_pallas: bool | None = None,
+    target_constant: bool = False,
 ) -> Array:
     """W_p^p between weight rows on one shared sorted grid. [rows].
 
@@ -461,6 +508,8 @@ def wasserstein_same_grid(
         inv = jnp.argsort(order)
         w = sot_bilinear(jnp.take(alpha, order, axis=0),
                          jnp.take(beta, order, axis=0),
-                         gaug, p=p, use_pallas=True)
+                         gaug, p=p, use_pallas=True,
+                         target_constant=target_constant)
         return jnp.take(w, inv)
-    return sot_bilinear(alpha, beta, gaug, p=p, use_pallas=use_pallas)
+    return sot_bilinear(alpha, beta, gaug, p=p, use_pallas=use_pallas,
+                        target_constant=target_constant)

@@ -19,6 +19,8 @@ are Python ints -> static shapes under jit. Output is time-major
 
 from __future__ import annotations
 
+import functools
+
 from typing import Optional, Union
 
 import jax
@@ -52,12 +54,66 @@ def complex_magnitude(z: Array) -> Array:
     return _complex_abs(jnp.real(z), jnp.imag(z))
 
 
+def _frame_gather(audio: Array, n_frames: int, frame_size: int,
+                  hop_length: int) -> Array:
+    idx = (np.arange(n_frames)[:, None] * hop_length
+           + np.arange(frame_size)[None, :])
+    return audio[..., idx]
+
+
+def _make_framer(frame_size: int, hop_length: int):
+    """Framing with a dense overlap-add VJP when hop divides frame size.
+
+    The gather's default transpose is a scatter-add (measured ~0.5 ms/step
+    across the MSS scales). With q = frame_size // hop_length, frame k's
+    r-th hop-chunk covers samples [(k+r)h, (k+r+1)h), so the cotangent is
+    the sum over r of the frames' r-th chunks shifted by r — reshapes and
+    adds only.
+    """
+    q, rem = divmod(frame_size, hop_length)
+
+    if rem != 0:
+        return functools.partial(_frame_gather, frame_size=frame_size,
+                                 hop_length=hop_length)
+
+    @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+    def framer(audio, n_frames):
+        return _frame_gather(audio, n_frames, frame_size, hop_length)
+
+    def fwd(audio, n_frames):
+        return framer(audio, n_frames), audio.shape
+
+    def bwd(n_frames, shape, dframes):
+        t = shape[-1]
+        h = hop_length
+        lead = dframes.shape[:-2]
+        chunks = dframes.reshape(lead + (n_frames, q, h))
+        total = jnp.zeros(lead + (n_frames + q - 1, h), dframes.dtype)
+        for r in range(q):
+            total = total.at[..., r : r + n_frames, :].add(chunks[..., :, r, :])
+        flat = total.reshape(lead + ((n_frames + q - 1) * h,))
+        flat = flat[..., :t]
+        pad = t - flat.shape[-1]
+        if pad > 0:
+            flat = jnp.pad(flat, [(0, 0)] * (len(lead)) + [(0, pad)])
+        return (flat,)
+
+    framer.defvjp(fwd, bwd)
+    return lambda audio, n_frames: framer(audio, n_frames)
+
+
+@functools.lru_cache(maxsize=64)
+def _framer_cached(frame_size: int, hop_length: int):
+    return _make_framer(frame_size, hop_length)
+
+
 def frame_signal(audio: Array, frame_size: int, hop_length: int,
                  pad_end: bool = True) -> Array:
     """Slice audio [..., T] into overlapping frames [..., n_frames, frame_size].
 
     With ``pad_end=True`` uses tf-style padding: n_frames = ceil(T / hop).
-    Purely static shapes; the gather is XLA-fused with downstream windowing.
+    Purely static shapes; backward is a dense overlap-add (no scatter) when
+    hop divides frame_size.
     """
     t = audio.shape[-1]
     if pad_end:
@@ -68,8 +124,10 @@ def frame_signal(audio: Array, frame_size: int, hop_length: int,
         n_frames = -(-t // hop_length)
     else:
         n_frames = 1 + (t - frame_size) // hop_length
-    idx = (np.arange(n_frames)[:, None] * hop_length + np.arange(frame_size)[None, :])
-    return audio[..., idx]
+    framer = _framer_cached(frame_size, hop_length)
+    if isinstance(framer, functools.partial):
+        return framer(audio, n_frames)
+    return framer(audio, n_frames)
 
 
 def rfft_frequencies(n_fft: int, sample_rate: float) -> np.ndarray:

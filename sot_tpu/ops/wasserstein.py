@@ -120,6 +120,7 @@ def wasserstein_1d_same_grid(
     v_weights: Array,
     p: float = 1,
     limit_quantile_range: bool = False,
+    target_constant: bool = False,
 ) -> Array:
     """Fast path: both distributions live on one shared *sorted* grid.
 
@@ -141,4 +142,5 @@ def wasserstein_1d_same_grid(
     return wasserstein_same_grid(
         grid, u_weights, v_weights, p=p,
         limit_quantile_range=limit_quantile_range,
+        target_constant=target_constant,
     )

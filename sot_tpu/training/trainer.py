@@ -106,7 +106,8 @@ def build_modules(cfg: ExperimentConfig) -> Modules:
                 p=lc.p, square_dist=lc.square_dist,
                 dont_normalize=lc.dont_normalize,
                 limit_quantile_range=lc.limit_quantile_range,
-                log_scaled_x=lc.log_scaled_x)
+                log_scaled_x=lc.log_scaled_x,
+                target_constant=True)
         else:
             raise ValueError(f"Unknown loss kind {lc.kind}")
         loss_fns.append((lc.kind, fn, lc.weight))
