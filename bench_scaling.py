@@ -1,0 +1,81 @@
+"""DP scaling-efficiency harness (BASELINE configs 4-5).
+
+Measures SOT-2048 train-step samples/s at DP=1 and DP=N over a device mesh
+and reports efficiency = throughput_N / (N * throughput_1). On a multi-chip
+TPU slice this is the real scaling number; on a single chip (or CPU with
+XLA_FLAGS=--xla_force_host_platform_device_count=N) it validates that the
+sharded step compiles and runs, and measures the virtual-device overhead —
+the protocol is identical either way.
+
+    python bench_scaling.py            # uses all visible devices
+    JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+        python bench_scaling.py
+
+Prints ONE JSON line with per-configuration samples/s.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+
+def _measure(step, state, x, rng, iters: int = 20):
+    import jax
+
+    state, logs = step(state, x, rng)
+    jax.block_until_ready(logs["loss/total"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, logs = step(state, x, rng)
+    jax.block_until_ready(logs["loss/total"])
+    return iters * x.shape[0] / (time.perf_counter() - t0)
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from sot_tpu import data as data_lib
+    from sot_tpu.configs import get_experiment
+    from sot_tpu.parallel.mesh import make_mesh
+    from sot_tpu.parallel.train import make_sharded_train_step
+    from sot_tpu.training.trainer import build_modules, init_state, make_train_step
+
+    n_dev = len(jax.devices())
+    platform = jax.devices()[0].platform
+    per_chip_batch = 64
+    cfg1 = get_experiment("SOT-2048", batch_size=per_chip_batch)
+    mod = build_modules(cfg1)
+    rng = jax.random.key(0)
+
+    signals, _, _ = data_lib.generate_sinusoid_dataset(
+        seed=0, size=per_chip_batch * max(n_dev, 1), n_samples=cfg1.n_samples,
+        render_batch=per_chip_batch)
+    all_x = jnp.asarray(data_lib.peak_normalize(signals))
+
+    # DP=1
+    state = init_state(mod, rng)
+    sps_1 = _measure(make_train_step(mod), state, all_x[:per_chip_batch], rng)
+
+    result = {
+        "metric": "DP scaling efficiency (SOT-2048 train step)",
+        "device": platform,
+        "n_devices": n_dev,
+        "per_chip_batch": per_chip_batch,
+        "samples_per_sec_1": round(sps_1, 1),
+    }
+    if n_dev > 1:
+        cfgn = get_experiment("SOT-2048", batch_size=per_chip_batch * n_dev)
+        modn = build_modules(cfgn)
+        staten = init_state(modn, rng)
+        mesh = make_mesh(n_dev)
+        stepn = make_sharded_train_step(modn, mesh)
+        sps_n = _measure(stepn, staten, all_x, rng)
+        result["samples_per_sec_n"] = round(sps_n, 1)
+        result["efficiency"] = round(sps_n / (n_dev * sps_1), 4)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -64,14 +64,46 @@ def evaluate_run(experiment: str, run_dir: str, dataset: Optional[str],
     return evaluate(mod, eval_step, state.params, splits[split], cfg.batch_size)
 
 
-def aggregate(rows: List[Dict[str, float]]) -> Dict[str, str]:
-    """mean(std) + median per metric, reference eval_paper.py:167-253 style."""
+def aggregate(rows: List[Dict[str, float]]) -> Dict[str, Dict[str, float]]:
+    """mean/std/median per metric (reference eval_paper.py:167-253)."""
     out = {}
     keys = rows[0].keys()
     for k in keys:
         vals = np.array([r[k] for r in rows], dtype=np.float64)
-        out[k] = f"{vals.mean():.3f}({vals.std():.3f}) med={np.median(vals):.3f}"
+        out[k] = {"mean": float(vals.mean()), "std": float(vals.std()),
+                  "median": float(np.median(vals))}
     return out
+
+
+def format_paper_table(table: Dict[str, Dict[str, Dict[str, float]]]
+                       ) -> List[str]:
+    """LaTeX-ready 'mean(std)' rows with \\textbf best and \\emph 2nd-best
+    per column (reference eval_paper.py:167-253)."""
+    if not table:
+        return []
+    metrics = list(next(iter(table.values())).keys())
+    exps = list(table.keys())
+    ranks: Dict[str, Dict[str, int]] = {m: {} for m in metrics}
+    for m in metrics:
+        means = {e: table[e][m]["mean"] for e in exps}
+        order = sorted(exps, key=lambda e: means[e],
+                       reverse=(m in HIGHER_BETTER))
+        if m == "OD":  # closest to zero wins
+            order = sorted(exps, key=lambda e: abs(means[e]))
+        for rank, e in enumerate(order):
+            ranks[m][e] = rank
+    lines = ["experiment," + ",".join(metrics)]
+    for e in exps:
+        cells = []
+        for m in metrics:
+            s = f"{table[e][m]['mean']:.3f}({table[e][m]['std']:.3f})"
+            if ranks[m][e] == 0:
+                s = "\\textbf{%s}" % s
+            elif ranks[m][e] == 1:
+                s = "\\emph{%s}" % s
+            cells.append(s)
+        lines.append(e + "," + ",".join(cells))
+    return lines
 
 
 def main(argv=None) -> int:
@@ -106,14 +138,20 @@ def main(argv=None) -> int:
         json.dump(per_run_rows, fh, indent=2)
     with open(os.path.join(args.out, "synthetic_results_paper_best-lsd.json"), "w") as fh:
         json.dump(table, fh, indent=2)
+    latex_lines = format_paper_table(table)
+    with open(os.path.join(args.out, "synthetic_results_paper_best-lsd.csv"),
+              "w") as fh:
+        fh.write("\n".join(latex_lines) + "\n")
 
     # console table
     if table:
         metrics = list(next(iter(table.values())).keys())
-        header = "experiment".ljust(14) + "".join(m.ljust(30) for m in metrics)
+        header = "experiment".ljust(14) + "".join(m.ljust(26) for m in metrics)
         print(header)
         for exp, row in table.items():
-            print(exp.ljust(14) + "".join(row[m].ljust(30) for m in metrics))
+            print(exp.ljust(14) + "".join(
+                f"{row[m]['mean']:.3f}({row[m]['std']:.3f}) med={row[m]['median']:.3f}".ljust(26)
+                for m in metrics))
     return 0
 
 

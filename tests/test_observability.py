@@ -68,3 +68,23 @@ def test_train_loop_writes_figures(tmp_path):
     train(cfg, max_steps=2, log_every=1, figure_dir=str(tmp_path))
     figs = list((tmp_path / "figures").rglob("*.png"))
     assert len(figs) >= 4
+
+
+def test_eval_paper_table_formatting():
+    from sot_tpu.eval_paper import aggregate, format_paper_table, rename_metrics
+
+    m = rename_metrics({"log_spectral_distance": 2.0, "octave_difference": -0.01,
+                        "raw_pitch_accuracy": 0.97, "raw_chroma_accuracy": 0.98,
+                        "mse": 0.5, "mss": 3.0})
+    assert m["RPA"] == 97.0 and m["OD"] == 0.01 and m["LSD"] == 2.0
+
+    rows_a = [{"LSD": 1.0, "RPA": 90.0}, {"LSD": 2.0, "RPA": 96.0}]
+    rows_b = [{"LSD": 3.0, "RPA": 99.0}, {"LSD": 4.0, "RPA": 97.0}]
+    table = {"A": aggregate(rows_a), "B": aggregate(rows_b)}
+    assert table["A"]["LSD"]["mean"] == 1.5
+    lines = format_paper_table(table)
+    assert lines[0] == "experiment,LSD,RPA"
+    # A is best (lowest) LSD -> bold; B best (highest) RPA -> bold
+    assert "\\textbf" in lines[1].split(",")[1]
+    assert "\\textbf" in lines[2].split(",")[2]
+    assert "\\emph" in lines[1].split(",")[2]
