@@ -32,7 +32,7 @@ def _measure(step, state, x, rng, iters: int = 20):
     return iters * x.shape[0] / (time.perf_counter() - t0)
 
 
-def main() -> None:
+def main(tiny: bool | None = None) -> None:
     import jax
     import jax.numpy as jnp
 
@@ -44,8 +44,14 @@ def main() -> None:
 
     n_dev = len(jax.devices())
     platform = jax.devices()[0].platform
-    per_chip_batch = 64
-    cfg1 = get_experiment("SOT-2048", batch_size=per_chip_batch)
+    if tiny is None:
+        tiny = platform == "cpu"  # CPU run = compile/correctness validation
+    per_chip_batch = 8 if tiny else 64
+    overrides = dict(batch_size=per_chip_batch)
+    if tiny:
+        overrides.update(n_samples=1024, cqt_fmin=261.6,
+                         transform_n_fft=512, transform_hop=128)
+    cfg1 = get_experiment("SOT-2048", **overrides)
     mod = build_modules(cfg1)
     rng = jax.random.key(0)
 
@@ -66,7 +72,8 @@ def main() -> None:
         "samples_per_sec_1": round(sps_1, 1),
     }
     if n_dev > 1:
-        cfgn = get_experiment("SOT-2048", batch_size=per_chip_batch * n_dev)
+        overrides_n = dict(overrides, batch_size=per_chip_batch * n_dev)
+        cfgn = get_experiment("SOT-2048", **overrides_n)
         modn = build_modules(cfgn)
         staten = init_state(modn, rng)
         mesh = make_mesh(n_dev)
@@ -78,4 +85,6 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    main(tiny=("--tiny" in sys.argv) or None)

@@ -63,6 +63,37 @@ def _parse_set_overrides(pairs) -> dict:
     return out
 
 
+def _profile_steps(cfg, trace_dir: str, n_steps: int = 5) -> None:
+    """Capture a device trace of warmed-up train steps + print the op table."""
+    import jax
+    import jax.numpy as jnp
+
+    from sot_tpu import data as data_lib
+    from sot_tpu.training.profiling import print_trace_summary, trace
+    from sot_tpu.training.trainer import build_modules, init_state, make_train_step
+
+    mod = build_modules(cfg)
+    rng = jax.random.key(cfg.seed)
+    state = init_state(mod, rng)
+    step = make_train_step(mod)
+    signals, _, _ = data_lib.generate_sinusoid_dataset(
+        seed=0, size=cfg.batch_size, n_samples=cfg.n_samples,
+        render_batch=cfg.batch_size)
+    x = jnp.asarray(data_lib.peak_normalize(signals))
+    for _ in range(3):
+        state, logs = step(state, x, rng)
+    jax.block_until_ready(logs["loss/total"])
+    with trace(trace_dir):
+        for _ in range(n_steps):
+            state, logs = step(state, x, rng)
+        jax.block_until_ready(logs["loss/total"])
+    print(f"# device trace -> {trace_dir} (top ops, ms/step):")
+    try:
+        print_trace_summary(trace_dir, steps=n_steps, top=15)
+    except Exception as exc:  # pragma: no cover
+        print(f"# (trace summary unavailable: {exc})")
+
+
 def cmd_train(args: argparse.Namespace) -> int:
     from sot_tpu.training.trainer import train
 
@@ -89,6 +120,9 @@ def cmd_train(args: argparse.Namespace) -> int:
     out = args.out or f"runs/{cfg.name}-{cfg.seed}"
     os.makedirs(out, exist_ok=True)
     _save_resolved_config(cfg, out)
+
+    if args.profile:
+        _profile_steps(cfg, os.path.join(out, "trace"))
 
     state, best = train(
         cfg,
@@ -174,6 +208,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="generic config field override (repeatable)")
     t.add_argument("--figures", action="store_true",
                    help="write spectrum/probability figures each eval epoch")
+    t.add_argument("--profile", action="store_true",
+                   help="capture a jax.profiler device trace of a few steps "
+                        "into <out>/trace and print the per-op summary")
     t.set_defaults(fn=cmd_train)
 
     e = sub.add_parser("evaluate", help="evaluate a checkpoint")
