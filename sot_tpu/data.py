@@ -12,9 +12,9 @@ Mirrors the reference synthetic_data.py:
     (requires CPU torch, which is how the file was written)
 
 Device strategy: the full dataset is tiny (4000 x 4096 fp32 = 64 MB), so the
-trainer keeps it resident on device and gathers batches by index — zero
-host->device traffic per step. Batch iteration order matches the reference's
-DataLoader default (no per-epoch shuffle; the split itself is random).
+trainer keeps it resident on device and slices batches by index inside jit —
+zero host->device traffic per step. Batch order is reshuffled every epoch
+host-side (the reference DataLoader's shuffle).
 """
 
 from __future__ import annotations

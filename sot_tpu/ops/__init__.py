@@ -19,7 +19,12 @@ from sot_tpu.ops.numerics import (  # noqa: F401
 )
 from sot_tpu.ops.windows import get_window, hann_window, flattop_window  # noqa: F401
 from sot_tpu.ops.stft import stft_magnitude, frame_signal, rfft_frequencies  # noqa: F401
-from sot_tpu.ops.wasserstein import wasserstein_1d, quantile_function  # noqa: F401
+from sot_tpu.ops.wasserstein import (  # noqa: F401
+    quantile_function,
+    wasserstein_1d,
+    wasserstein_1d_same_grid,
+)
+from sot_tpu.ops.scan import prefix_sum  # noqa: F401
 from sot_tpu.ops.oscillator import (  # noqa: F401
     oscillator_bank,
     angular_cumsum,
