@@ -20,7 +20,6 @@ import dataclasses
 import json
 import os
 import sys
-from typing import Optional
 
 from sot_tpu.configs import EXPERIMENTS, PAPER_SEEDS, get_experiment
 

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence
 
 import flax.linen as nn
 import jax

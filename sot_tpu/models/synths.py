@@ -14,7 +14,7 @@ no module machinery needed. Controls -> signal:
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Dict, Optional, Tuple, Union
+from typing import Callable, Dict, Optional, Union
 
 import jax
 import jax.numpy as jnp

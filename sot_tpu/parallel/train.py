@@ -13,7 +13,7 @@ multichip dryrun.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Tuple
+from typing import Callable
 
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

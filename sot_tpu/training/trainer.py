@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import dataclasses
 import time
-from typing import Any, Callable, Dict, Iterator, NamedTuple, Optional, Tuple
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -28,8 +28,8 @@ import optax
 from sot_tpu import data as data_lib
 from sot_tpu import losses as losses_lib
 from sot_tpu import metrics as metrics_lib
-from sot_tpu.configs import ExperimentConfig, LossConfig
-from sot_tpu.features import CQT, Identity, STFT, get_transform
+from sot_tpu.configs import ExperimentConfig
+from sot_tpu.features import CQT, Identity, STFT
 from sot_tpu.models.encoder import PESTOEncoder, predict_pitch
 from sot_tpu.models.synths import Sinusoidal
 from sot_tpu.ops.numerics import get_cqt_n_bins, hz_to_unit, unit_to_hz
