@@ -176,6 +176,37 @@ def cmd_generate_data(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_analyze(args: argparse.Namespace) -> int:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sot_tpu import data as data_lib
+    from sot_tpu.analysis import pitch_error_report
+    from sot_tpu.training import checkpoint as ckpt_lib
+    from sot_tpu.training.trainer import build_modules, forward, init_state
+
+    cfg = get_experiment(args.experiment,
+                         **({"dataset_path": args.dataset} if args.dataset else {}))
+    mod = build_modules(cfg)
+    state = init_state(mod, jax.random.key(0))
+    state, _ = ckpt_lib.restore(args.ckpt, state)
+    if cfg.dataset_path:
+        splits = data_lib.load_pth_dataset(cfg.dataset_path)
+    else:
+        splits = data_lib.make_dataset(seed=cfg.data_seed, size=cfg.dataset_size)
+    split = splits[args.split]
+    fwd = jax.jit(lambda p, x: forward(mod, p, x)["pitch_hz"])
+    chunks = []
+    for batch in data_lib.iterate_batches(split, cfg.batch_size, drop_last=False):
+        chunks.append(np.asarray(fwd(state.params, jnp.asarray(batch["x"]))))
+    pitch = np.concatenate(chunks)[:, :, 0]
+    n = pitch.shape[0]
+    report = pitch_error_report(pitch, split.frequency[:n, 0])
+    print(json.dumps(report, indent=2))
+    return 0
+
+
 def cmd_list(_args: argparse.Namespace) -> int:
     for name, cfg in EXPERIMENTS.items():
         loss_desc = " + ".join(
@@ -224,6 +255,13 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--seed", type=int, default=0)
     g.add_argument("--size", type=int, default=4000)
     g.set_defaults(fn=cmd_generate_data)
+
+    a = sub.add_parser("analyze", help="pitch-error breakdown of a checkpoint")
+    a.add_argument("--experiment", default="SOT-2048", choices=sorted(EXPERIMENTS))
+    a.add_argument("--ckpt", required=True)
+    a.add_argument("--dataset", default=None)
+    a.add_argument("--split", default="val", choices=("train", "val", "test"))
+    a.set_defaults(fn=cmd_analyze)
 
     l = sub.add_parser("list", help="list experiment presets")
     l.set_defaults(fn=cmd_list)

@@ -88,3 +88,20 @@ def test_eval_paper_table_formatting():
     assert "\\textbf" in lines[1].split(",")[1]
     assert "\\textbf" in lines[2].split(",")[2]
     assert "\\emph" in lines[1].split(",")[2]
+
+
+def test_pitch_error_report():
+    from sot_tpu.analysis import pitch_error_report
+
+    rng = np.random.default_rng(0)
+    f0 = rng.uniform(100, 1000, 40)
+    pitch = np.tile(f0[:, None], (1, 16))
+    pitch[:5] *= 2.0        # octave up
+    pitch[5:8] /= 2.0       # octave down
+    pitch[8:10] *= 1.5      # fifth
+    r = pitch_error_report(pitch, f0)
+    assert abs(r["rpa"] - 30 / 40) < 1e-6
+    assert r["clip_failures"]["kinds"]["octave_up"] == 5
+    assert r["clip_failures"]["kinds"]["octave_down"] == 3
+    assert r["clip_failures"]["kinds"]["fifth"] == 2
+    assert r["clip_failures"]["n_wrong_clips"] == 10
