@@ -133,3 +133,14 @@ def test_dp_train_step_matches_single_device():
         # Adam's first step is ~sign(g)*lr; fp reduction-order noise on
         # near-zero grads can flip isolated elements by 2*lr.
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2.5e-4)
+
+
+def test_initialize_distributed_noop_single_process(monkeypatch):
+    from sot_tpu.parallel.launch import global_mesh, initialize_distributed
+
+    for var in ("JAX_COORDINATOR_ADDRESS", "TPU_WORKER_HOSTNAMES",
+                "MEGASCALE_COORDINATOR_ADDRESS"):
+        monkeypatch.delenv(var, raising=False)
+    assert initialize_distributed() is False
+    mesh = global_mesh(freq=2)
+    assert mesh.shape["data"] * mesh.shape["freq"] == 8
