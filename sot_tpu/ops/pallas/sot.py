@@ -50,7 +50,7 @@ import numpy as np
 Array = jax.Array
 
 _ROWS_PER_PROGRAM = 128  # lane-dim tile of the transposed CDFs
-_SLAB = 256  # i-dimension sublane slab size
+_SLAB = 128  # j-dimension sublane slab size (also the n padding quantum)
 
 
 def _round_up(x: int, m: int) -> int:
