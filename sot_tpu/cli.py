@@ -137,6 +137,31 @@ def cmd_train(args: argparse.Namespace) -> int:
     return 0
 
 
+def _config_for_ckpt(args) -> "object":
+    """Resolve the experiment config for an evaluation/analysis command.
+
+    If the checkpoint lives inside a run directory with a saved
+    train_config.json, that resolved config is used (the config travels
+    with the checkpoint); explicit --set/--dataset flags override it.
+    """
+    overrides = {}
+    experiment = args.experiment
+    if args.ckpt:
+        run_dir = os.path.dirname(os.path.dirname(os.path.abspath(args.ckpt)))
+        cfg_path = os.path.join(run_dir, "train_config.json")
+        if os.path.exists(cfg_path):
+            saved = json.load(open(cfg_path))
+            experiment = saved.pop("name", experiment)
+            saved.pop("losses", None)  # preset-defined; not a flat override
+            overrides.update(saved)
+    if args.dataset:
+        overrides["dataset_path"] = args.dataset
+    if getattr(args, "dataset_size", None):
+        overrides["dataset_size"] = args.dataset_size
+    overrides.update(_parse_set_overrides(getattr(args, "set", None)))
+    return get_experiment(experiment, **overrides)
+
+
 def cmd_evaluate(args: argparse.Namespace) -> int:
     import jax
     import jax.numpy as jnp
@@ -146,16 +171,12 @@ def cmd_evaluate(args: argparse.Namespace) -> int:
     from sot_tpu.training.trainer import (build_modules, evaluate, init_state,
                                           make_eval_step)
 
-    cfg = get_experiment(args.experiment,
-                         **({"dataset_path": args.dataset} if args.dataset else {}))
+    cfg = _config_for_ckpt(args)
     mod = build_modules(cfg)
     state = init_state(mod, jax.random.key(0))
     if args.ckpt:
         state, _ = ckpt_lib.restore(args.ckpt, state)
-    if cfg.dataset_path:
-        splits = data_lib.load_pth_dataset(cfg.dataset_path)
-    else:
-        splits = data_lib.make_dataset(seed=cfg.data_seed, size=cfg.dataset_size)
+    splits = data_lib.dataset_from_config(cfg)
     eval_step = make_eval_step(mod)
     split = splits.get(args.split, splits["val"])
     metrics = evaluate(mod, eval_step, state.params, split, cfg.batch_size)
@@ -186,15 +207,11 @@ def cmd_analyze(args: argparse.Namespace) -> int:
     from sot_tpu.training import checkpoint as ckpt_lib
     from sot_tpu.training.trainer import build_modules, forward, init_state
 
-    cfg = get_experiment(args.experiment,
-                         **({"dataset_path": args.dataset} if args.dataset else {}))
+    cfg = _config_for_ckpt(args)
     mod = build_modules(cfg)
     state = init_state(mod, jax.random.key(0))
     state, _ = ckpt_lib.restore(args.ckpt, state)
-    if cfg.dataset_path:
-        splits = data_lib.load_pth_dataset(cfg.dataset_path)
-    else:
-        splits = data_lib.make_dataset(seed=cfg.data_seed, size=cfg.dataset_size)
+    splits = data_lib.dataset_from_config(cfg)
     split = splits[args.split]
     fwd = jax.jit(lambda p, x: forward(mod, p, x)["pitch_hz"])
     chunks = []
@@ -247,7 +264,9 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--experiment", default="SOT-2048", choices=sorted(EXPERIMENTS))
     e.add_argument("--ckpt", default=None)
     e.add_argument("--dataset", default=None)
+    e.add_argument("--dataset-size", type=int, default=None)
     e.add_argument("--split", default="test", choices=("train", "val", "test"))
+    e.add_argument("--set", action="append", default=None, metavar="KEY=VAL")
     e.set_defaults(fn=cmd_evaluate)
 
     g = sub.add_parser("generate-data", help="generate the synthetic dataset")
@@ -260,7 +279,9 @@ def build_parser() -> argparse.ArgumentParser:
     a.add_argument("--experiment", default="SOT-2048", choices=sorted(EXPERIMENTS))
     a.add_argument("--ckpt", required=True)
     a.add_argument("--dataset", default=None)
+    a.add_argument("--dataset-size", type=int, default=None)
     a.add_argument("--split", default="val", choices=("train", "val", "test"))
+    a.add_argument("--set", action="append", default=None, metavar="KEY=VAL")
     a.set_defaults(fn=cmd_analyze)
 
     l = sub.add_parser("list", help="list experiment presets")

@@ -138,6 +138,22 @@ def make_dataset(seed: int = 0, **kwargs) -> Dict[str, SplitArrays]:
     return random_split(signals, freqs, amps, seed=seed)
 
 
+def dataset_from_config(cfg) -> Dict[str, SplitArrays]:
+    """Splits for an ExperimentConfig: the released .pth if ``dataset_path``
+    is set, else the synthetic generator with the config's FULL generation
+    parameters (a bare make_dataset(seed, size) silently used defaults for
+    n_samples etc. — wrong for non-default configs)."""
+    if cfg.dataset_path:
+        return load_pth_dataset(cfg.dataset_path)
+    return make_dataset(
+        seed=cfg.data_seed, freq_gen_min=cfg.freq_gen_min,
+        freq_gen_max=cfg.freq_gen_max, n_samples=cfg.n_samples,
+        sample_rate=cfg.sample_rate, amplitude_min=cfg.amplitude_min,
+        amplitude_max=cfg.amplitude_max, size=cfg.dataset_size,
+        n_sinusoids=cfg.n_sinusoids, n_sinusoids_min=cfg.n_sinusoids_min,
+    )
+
+
 def load_pth_dataset(path: str) -> Dict[str, SplitArrays]:
     """Import the reference's released torch dataset
     (e.g. 40_1950_4096_04_1_4000_8_1_harmonic.pth)."""

@@ -56,10 +56,7 @@ def evaluate_run(experiment: str, run_dir: str, dataset: Optional[str],
     state = init_state(mod, jax.random.key(0))
     ckpt = os.path.join(run_dir, "checkpoints", "best-lsd")
     state, _ = ckpt_lib.restore(ckpt, state)
-    if cfg.dataset_path:
-        splits = data_lib.load_pth_dataset(cfg.dataset_path)
-    else:
-        splits = data_lib.make_dataset(seed=cfg.data_seed, size=cfg.dataset_size)
+    splits = data_lib.dataset_from_config(cfg)
     eval_step = make_eval_step(mod)
     return evaluate(mod, eval_step, state.params, splits[split], cfg.batch_size)
 

@@ -339,16 +339,7 @@ def train(
     mod = build_modules(cfg)
 
     if splits is None:
-        if cfg.dataset_path:
-            splits = data_lib.load_pth_dataset(cfg.dataset_path)
-        else:
-            splits = data_lib.make_dataset(
-                seed=cfg.data_seed, freq_gen_min=cfg.freq_gen_min,
-                freq_gen_max=cfg.freq_gen_max, n_samples=cfg.n_samples,
-                sample_rate=cfg.sample_rate, amplitude_min=cfg.amplitude_min,
-                amplitude_max=cfg.amplitude_max, size=cfg.dataset_size,
-                n_sinusoids=cfg.n_sinusoids, n_sinusoids_min=cfg.n_sinusoids_min,
-            )
+        splits = data_lib.dataset_from_config(cfg)
 
     rng = jax.random.key(cfg.seed)
     state = init_state(mod, rng)

@@ -1,0 +1,62 @@
+"""CLI integration: train -> resume -> evaluate -> analyze on a tiny config."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+TINY = ["--set", "n_samples=1024", "--set", "cqt_fmin=261.6",
+        "--set", "batch_size=8", "--set", "transform_n_fft=512",
+        "--set", "transform_hop=128", "--dataset-size", "32"]
+
+
+@pytest.fixture(scope="module")
+def run_dir(tmp_path_factory):
+    from sot_tpu.cli import main
+
+    out = str(tmp_path_factory.mktemp("cli_run"))
+    rc = main(["train", "--experiment", "SOT-512", "--steps", "2",
+               "--eval-every", "2", "--out", out] + TINY)
+    assert rc == 0
+    return out
+
+
+def test_train_outputs(run_dir):
+    assert os.path.isdir(os.path.join(run_dir, "checkpoints", "best-lsd"))
+    cfg = json.load(open(os.path.join(run_dir, "train_config.json")))
+    assert cfg["name"] == "SOT-512" and cfg["batch_size"] == 8
+    best = json.load(open(os.path.join(run_dir, "best_metrics.json")))
+    assert np.isfinite(best["loss/total"])
+
+
+def test_resume_continues(run_dir, tmp_path):
+    from sot_tpu.cli import main
+
+    out2 = str(tmp_path / "resumed")
+    rc = main(["train", "--experiment", "SOT-512", "--steps", "4",
+               "--eval-every", "4", "--out", out2,
+               "--resume", os.path.join(run_dir, "checkpoints", "best-lsd")]
+              + TINY)
+    assert rc == 0
+    lines = [json.loads(l) for l in open(os.path.join(out2, "log.jsonl"))]
+    steps = [l["step"] for l in lines if "step" in l]
+    assert max(steps) == 4  # resumed from step 2, trained to 4
+
+
+def test_evaluate_and_analyze(run_dir, capsys):
+    from sot_tpu.cli import main
+
+    # config auto-loads from the run's train_config.json next to the ckpt
+    rc = main(["evaluate", "--split", "val",
+               "--ckpt", os.path.join(run_dir, "checkpoints", "best-lsd")])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert "val_metrics" in out and np.isfinite(out["val_metrics"]["mse"])
+
+    rc = main(["analyze", "--split", "val",
+               "--ckpt", os.path.join(run_dir, "checkpoints", "best-lsd")])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert 0.0 <= rep["rpa"] <= 1.0
+    assert rep["clip_failures"]["n_clips"] > 0
