@@ -178,8 +178,11 @@ def cmd_evaluate(args: argparse.Namespace) -> int:
         state, _ = ckpt_lib.restore(args.ckpt, state)
     splits = data_lib.dataset_from_config(cfg)
     eval_step = make_eval_step(mod)
-    split = splits.get(args.split, splits["val"])
-    metrics = evaluate(mod, eval_step, state.params, split, cfg.batch_size)
+    if args.split not in splits:
+        raise SystemExit(f"split '{args.split}' not present in dataset "
+                         f"(available: {sorted(splits)})")
+    metrics = evaluate(mod, eval_step, state.params, splits[args.split],
+                       cfg.batch_size)
     print(json.dumps({f"{args.split}_metrics": metrics}, indent=2))
     return 0
 

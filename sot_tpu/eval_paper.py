@@ -50,11 +50,18 @@ def evaluate_run(experiment: str, run_dir: str, dataset: Optional[str],
     from sot_tpu.training.trainer import (build_modules, evaluate, init_state,
                                           make_eval_step)
 
-    cfg = get_experiment(experiment,
-                         **({"dataset_path": dataset} if dataset else {}))
+    import argparse as _ap
+
+    from sot_tpu.cli import _config_for_ckpt
+
+    ckpt = os.path.join(run_dir, "checkpoints", "best-lsd")
+    # resolve the run's own saved config (cli._config_for_ckpt) so sweeps
+    # over runs trained with --set overrides evaluate on the right data
+    cfg = _config_for_ckpt(_ap.Namespace(
+        ckpt=ckpt, experiment=experiment, dataset=dataset,
+        dataset_size=None, set=None))
     mod = build_modules(cfg)
     state = init_state(mod, jax.random.key(0))
-    ckpt = os.path.join(run_dir, "checkpoints", "best-lsd")
     state, _ = ckpt_lib.restore(ckpt, state)
     splits = data_lib.dataset_from_config(cfg)
     eval_step = make_eval_step(mod)

@@ -102,7 +102,7 @@ class Wasserstein1D:
 
     def __call__(self, x: Array, y: Array, x_pos: Optional[Array] = None,
                  y_pos: Optional[Array] = None, return_quantiles: bool = False,
-                 **_kw):
+                 **kw):
         if (x_pos is None or y_pos is None) and self.fixed_x is None:
             raise ValueError("If fixed_x is not provided, x_pos and y_pos must be provided")
         if x_pos is None:
@@ -115,10 +115,18 @@ class Wasserstein1D:
             x = x.reshape(-1, x.shape[-1])
         if y.ndim == 3:
             y = y.reshape(-1, y.shape[-1])
-        # same-grid detection: one shared 1D position vector for both spectra
-        # (always true in training: both STFTs sit on the same — sorted —
-        # rfft/log-frequency grid). Routes to the sort-free fused kernel.
+        # same-grid detection: one shared 1D position vector for both
+        # spectra (true in training: both STFTs sit on the same grid).
+        # The fused kernel additionally requires the grid to be SORTED —
+        # log-scaled positions can be non-monotone at bin 0 (hz_to_midi
+        # maps 0 Hz to MIDI 0 above bin 1's negative MIDI for fine
+        # rfft grids), in which case we keep the general sorting path.
         same_grid = x_pos is y_pos and getattr(x_pos, "ndim", 0) == 1
+        if same_grid:
+            try:
+                same_grid = bool(np.all(np.diff(np.asarray(x_pos)) >= 0))
+            except Exception:  # abstract tracer: can't verify, stay general
+                same_grid = False
         grid_1d = x_pos if same_grid else None
         if x_pos.ndim == 3:
             x_pos = x_pos.reshape(-1, x_pos.shape[-1])
@@ -158,7 +166,9 @@ class Wasserstein1D:
         if return_quantiles:
             return tuple(l.reshape(original_shape + (-1,)) for l in loss)
         if self.hinge:
-            loss = jax.nn.relu(loss - float(self.hinge))
+            # self.hinge is an on/off flag; the threshold comes from the
+            # call kwarg, default 0.0 (reference losses.py:203-205)
+            loss = jax.nn.relu(loss - float(kw.get("hinge", 0.0)))
         loss = loss.reshape(original_shape)
         return jnp.mean(loss)
 

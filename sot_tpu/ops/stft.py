@@ -99,7 +99,7 @@ def _make_framer(frame_size: int, hop_length: int):
         return (flat,)
 
     framer.defvjp(fwd, bwd)
-    return lambda audio, n_frames: framer(audio, n_frames)
+    return framer
 
 
 @functools.lru_cache(maxsize=64)
@@ -124,10 +124,7 @@ def frame_signal(audio: Array, frame_size: int, hop_length: int,
         n_frames = -(-t // hop_length)
     else:
         n_frames = 1 + (t - frame_size) // hop_length
-    framer = _framer_cached(frame_size, hop_length)
-    if isinstance(framer, functools.partial):
-        return framer(audio, n_frames)
-    return framer(audio, n_frames)
+    return _framer_cached(frame_size, hop_length)(audio, n_frames)
 
 
 def rfft_frequencies(n_fft: int, sample_rate: float) -> np.ndarray:

@@ -83,7 +83,6 @@ def stft_magnitude_frame_sharded(
         spec = jnp.fft.rfft(frames * win, axis=-1)
         return _complex_abs(jnp.real(spec), jnp.imag(spec)) * scale
 
-    other = "data" if axis == "freq" else "freq"
     fn = shard_map(
         local_stft, mesh=mesh,
         in_specs=P(None, axis),
@@ -108,7 +107,7 @@ def wasserstein_1d_freq_sharded(
     all_gathers the frequency shards (rows stay sharded), then solves rows
     locally. Returns [rows] sharded over row_axis.
     """
-    rows, n_bins = u_weights.shape
+
 
     def local_w1d(grid_l: Array, u_l: Array, v_l: Array) -> Array:
         u_full = jax.lax.all_gather(u_l, freq_axis, axis=1, tiled=True)

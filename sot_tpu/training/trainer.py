@@ -148,10 +148,6 @@ def forward(mod: Modules, params: Any, x: Array, train: bool = False,
     pitch_hz = unit_to_hz(pitch_unit, mod.freq_hz_min, mod.freq_hz_max)
 
     weights = z["weights"]  # [batch*frames, n_modes]
-    if mod.config.detach_weights:
-        # ablation: train the pitch head only; amplitudes carry no gradient
-        # (reference trainer.py:136-140)
-        weights = jax.lax.stop_gradient(weights)
 
     pitch_unit = pitch_unit.reshape(batch, n_frames, -1)
     pitch_hz = pitch_hz.reshape(batch, n_frames, -1)
@@ -159,13 +155,20 @@ def forward(mod: Modules, params: Any, x: Array, train: bool = False,
 
     x_hat = mod.decoder(weights, pitch_hz)
 
-    return {
+    out = {
         "x_hat": x_hat,
         "pitch_unit": pitch_unit,
         "pitch_hz": pitch_hz,
         "weights": weights,
         "frequency_logits": z["frequency"].reshape(batch, n_frames, -1),
     }
+    if mod.config.detach_weights:
+        # ablation (not used in the paper): a SECOND render with the
+        # amplitude head detached, fed only to the Wasserstein term — MSS
+        # still trains the weights (reference trainer.py:136-141, 216-218)
+        out["x_hat_weights_detached"] = mod.decoder(
+            jax.lax.stop_gradient(weights), pitch_hz)
+    return out
 
 
 def compute_loss(mod: Modules, params: Any, x: Array, train: bool = False,
@@ -182,11 +185,14 @@ def compute_loss(mod: Modules, params: Any, x: Array, train: bool = False,
 
     total = 0.0
     logs: Dict[str, Array] = {}
+    spec_x_hat_w = spec_x_hat
+    if mod.config.detach_weights:
+        spec_x_hat_w = mod.transform(out["x_hat_weights_detached"])
     for kind, fn, weight in mod.loss_fns:
         if kind == "mss":
             value = fn(x, x_hat) * weight
         else:
-            value = fn(spec_x, spec_x_hat, x_pos=pos, y_pos=pos) * weight
+            value = fn(spec_x, spec_x_hat_w, x_pos=pos, y_pos=pos) * weight
         logs[f"loss/{type(fn).__name__}"] = value
         total = total + value
     logs["loss/total"] = total
@@ -363,6 +369,10 @@ def train(
     x_train = jnp.asarray(data_lib.peak_normalize(train_split.x))
     n_train = x_train.shape[0]
     steps_per_epoch = n_train // cfg.batch_size
+    if steps_per_epoch == 0:
+        raise ValueError(
+            f"train split has {n_train} samples < batch_size "
+            f"{cfg.batch_size}; reduce batch_size or enlarge the dataset")
 
     best_lsd = float("inf")
     best_metrics: Dict[str, float] = {}

@@ -163,3 +163,48 @@ def test_wasserstein_grad_through_module():
         jnp.asarray(y))
     assert np.isfinite(np.asarray(g)).all()
     assert np.abs(np.asarray(g)).max() > 0
+
+
+def test_same_grid_dispatch_rejects_unsorted_positions():
+    """Non-monotone shared positions (log-scaled x_pos with a 0 Hz bin on a
+    fine rfft grid) must fall back to the sorting general path."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from sot_tpu.losses import Wasserstein1D
+
+    rng = np.random.default_rng(0)
+    n = 65
+    pos_sorted = np.sort(rng.random(n)).astype(np.float32)
+    pos_unsorted = pos_sorted.copy()
+    pos_unsorted[0], pos_unsorted[1] = pos_unsorted[1], pos_unsorted[0]
+    x = jnp.asarray(rng.random((6, n)).astype(np.float32))
+    y = jnp.asarray(rng.random((6, n)).astype(np.float32))
+    loss = Wasserstein1D(p=2)
+    p_u = jnp.asarray(pos_unsorted)
+    got = float(loss(x, y, x_pos=p_u, y_pos=p_u))
+    # oracle: general path with explicit distinct position objects
+    want = float(loss(x, y, x_pos=jnp.asarray(pos_unsorted),
+                      y_pos=jnp.array(pos_unsorted)))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_hinge_threshold_from_call_kwarg():
+    """self.hinge is a flag; the threshold is the call kwarg (default 0),
+    reference losses.py:203-205."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from sot_tpu.losses import Wasserstein1D
+
+    rng = np.random.default_rng(1)
+    n = 33
+    pos = jnp.asarray(np.sort(rng.random(n)).astype(np.float32))
+    x = jnp.asarray(rng.random((4, n)).astype(np.float32))
+    y = jnp.asarray(rng.random((4, n)).astype(np.float32))
+    base = float(Wasserstein1D(p=2)(x, y, x_pos=pos, y_pos=pos))
+    flag_only = float(Wasserstein1D(p=2, hinge=True)(x, y, x_pos=pos, y_pos=pos))
+    np.testing.assert_allclose(flag_only, base, rtol=1e-6)  # threshold 0
+    big = float(Wasserstein1D(p=2, hinge=True)(x, y, x_pos=pos, y_pos=pos,
+                                               hinge=1e9))
+    assert big == 0.0

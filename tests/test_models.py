@@ -157,3 +157,37 @@ def test_encoder_grad_flows():
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
     # every parameter receives gradient somewhere
     assert any(np.abs(np.asarray(l)).max() > 0 for l in leaves)
+
+
+def test_detach_weights_reference_semantics():
+    """detach_weights renders a second weights-detached signal fed only to
+    the Wasserstein term; MSS still trains the amplitude head
+    (reference trainer.py:136-141, 216-218)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sot_tpu import data as D
+    from sot_tpu.configs import get_experiment
+    from sot_tpu.training.trainer import build_modules, compute_loss, init_state
+
+    cfg = get_experiment("SOT-512", batch_size=4, n_samples=1024,
+                         cqt_fmin=261.6, detach_weights=True)
+    mod = build_modules(cfg)
+    state = init_state(mod, jax.random.key(0))
+    signals, _, _ = D.generate_sinusoid_dataset(seed=0, size=4, n_samples=1024,
+                                                render_batch=4)
+    x = jnp.asarray(D.peak_normalize(signals))
+
+    grads = jax.grad(lambda p: compute_loss(mod, p, x)[0])(state.params)
+    gw = np.asarray(grads["params"]["weights"]["Dense_0"]["kernel"])
+    # MSS term still reaches the amplitude head
+    assert np.abs(gw).max() > 0
+
+    # with the MSS term removed, the weights head must receive zero gradient
+    cfg2 = cfg.replace(losses=tuple(l for l in cfg.losses
+                                    if l.kind == "wasserstein"))
+    mod2 = build_modules(cfg2)
+    grads2 = jax.grad(lambda p: compute_loss(mod2, p, x)[0])(state.params)
+    gw2 = np.asarray(grads2["params"]["weights"]["Dense_0"]["kernel"])
+    assert np.abs(gw2).max() == 0.0
