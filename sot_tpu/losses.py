@@ -123,11 +123,18 @@ class Wasserstein1D:
         # rfft grids), in which case we keep the general sorting path.
         same_grid = x_pos is y_pos and getattr(x_pos, "ndim", 0) == 1
         if same_grid:
-            try:
-                same_grid = bool(np.all(np.diff(np.asarray(x_pos)) >= 0))
-            except Exception:  # abstract tracer: can't verify, stay general
+            import jax.core
+
+            if isinstance(x_pos, jax.core.Tracer):
+                # can't verify sortedness of an abstract value: stay on the
+                # general (sorting) path. Callers that want the fused kernel
+                # pass positions as numpy/concrete arrays (the trainer does).
                 same_grid = False
+            else:
+                same_grid = bool(np.all(np.diff(np.asarray(x_pos)) >= 0))
         grid_1d = x_pos if same_grid else None
+        if same_grid:
+            grid_1d = jnp.asarray(grid_1d)
         if x_pos.ndim == 3:
             x_pos = x_pos.reshape(-1, x_pos.shape[-1])
         if y_pos.ndim == 3:
@@ -217,7 +224,7 @@ class Wasserstein1DWithTransform:
         sx = stft_magnitude(x, size=self.n_fft, overlap=overlap, window=self.window)
         sy = stft_magnitude(y, size=self.n_fft, overlap=overlap, window=self.window)
         freqs = np.fft.rfftfreq(self.n_fft, d=1.0 / self.sample_rate).astype(np.float32)
-        pos = jnp.asarray(freqs / freqs.max())
+        pos = freqs / freqs.max()  # numpy: lets the fused-path guard inspect
         kw.pop("x_pos", None)
         kw.pop("y_pos", None)
         return self.wasserstein(sx, sy, x_pos=pos, y_pos=pos, **kw)

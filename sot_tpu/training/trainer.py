@@ -181,7 +181,9 @@ def compute_loss(mod: Modules, params: Any, x: Array, train: bool = False,
 
     spec_x = mod.transform(x)
     spec_x_hat = mod.transform(x_hat)
-    pos = None if mod.x_pos is None else jnp.asarray(mod.x_pos)
+    # positions stay a NUMPY constant: the loss inspects them at trace time
+    # (sortedness guard for the fused same-grid kernel dispatch)
+    pos = mod.x_pos
 
     total = 0.0
     logs: Dict[str, Array] = {}
