@@ -190,7 +190,7 @@ def a_weighting_from_audio(
         audio = audio[None]
     mag = stft_magnitude(
         audio, size=num_fft, overlap=1.0 - hopsize / num_fft, window="ones",
-        normalized=False, center=True,
+        normalized=False, center=True, pad_end=False,
     )  # [batch, frames, bins]
     power = mag * mag
     if weighting is None:

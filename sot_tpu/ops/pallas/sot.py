@@ -29,10 +29,12 @@ two spectra converge during training.
 For p = 1 the integral collapses to the classic O(n) CDF-difference form
     W_1 = sum_i |alpha_i - beta_i| * (g_{i+1} - g_i).
 
-The O(n^2) bilinear form runs as a Pallas kernel: per program, an 8-row
-block with both CDFs resident in VMEM; i-slabs of 256 grid bins broadcast
-against the full lane axis, so the n^2 plane never touches HBM. A custom
-VJP reuses the same plane structure for the four cotangents. Non-TPU
+The O(n^2) bilinear form runs as a Pallas kernel: each program owns a
+128-row block (rows on the 128 lanes) with both CDFs resident in VMEM in
+[n, rows] layout; i advances in sublane groups of 8 and j in 128-bin slabs
+restricted to precomputed active bands, so the n^2 plane never touches
+HBM. A custom VJP reuses the same plane structure for the cotangents
+(alpha-side reductions skipped when the target is constant). Non-TPU
 backends use a jnp fallback with identical math (and lax.min/max tie
 conventions) so CPU tests and the multichip dryrun need no TPU.
 """
@@ -45,7 +47,6 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 Array = jax.Array
 
@@ -444,6 +445,9 @@ def sot_bilinear(alpha: Array, beta: Array, g: Array, p: float = 2.0,
         if target_constant:
             return _sot_bilinear_pallas_target_const(alpha, beta, g, float(p))
         return _sot_bilinear_pallas(alpha, beta, g, float(p))
+    if target_constant:
+        # match the Pallas variant's semantics (zero cotangent to the target)
+        alpha = jax.lax.stop_gradient(alpha)
     return _sot_bilinear_xla(alpha, beta, g, float(p))
 
 
@@ -471,10 +475,16 @@ def wasserstein_same_grid(
     """
     from sot_tpu.ops.scan import prefix_sum
 
+    if p < 1:
+        raise ValueError(f"The OT loss is only valid for p>=1, {p} was given")
     u_weights = jnp.asarray(u_weights, jnp.float32)
     v_weights = jnp.asarray(v_weights, jnp.float32)
     grid = jnp.asarray(grid, jnp.float32)
     rows, n = u_weights.shape
+    if target_constant:
+        # uniform semantics across p/backend paths: the target (u) carries
+        # no gradient; the Pallas bwd additionally skips its reductions
+        u_weights = jax.lax.stop_gradient(u_weights)
 
     U = prefix_sum(u_weights, axis=-1)
     V = prefix_sum(v_weights, axis=-1)

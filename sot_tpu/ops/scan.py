@@ -41,7 +41,8 @@ def prefix_sum(x: Array, axis: int = -1) -> Array:
     x = jnp.asarray(x)
     axis = axis % x.ndim
     t = x.shape[axis]
-    if t < 2 * _CHUNK:
+    if t < 2 * _CHUNK or not jnp.issubdtype(x.dtype, jnp.floating):
+        # integer sums must stay exact: the tri-matmul accumulates in f32
         return jnp.cumsum(x, axis=axis)
 
     # move target axis to position -2 so the tri-matmul contracts over it

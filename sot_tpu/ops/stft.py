@@ -163,15 +163,17 @@ def stft_magnitude(
     else:
         win = jnp.asarray(window, jnp.float32)
     if center:
+        # reference stft() end-pads FIRST when both flags are set
+        # (features.py:196-198), then torch.stft centre-reflect-pads
+        if pad_end:
+            pad = pad_for_stft_length(audio.shape[-1], size, hop_length)
+            if pad:
+                audio = jnp.pad(audio,
+                                [(0, 0)] * (audio.ndim - 1) + [(0, pad)])
         half = size // 2
         audio = jnp.pad(audio, [(0, 0)] * (audio.ndim - 1) + [(half, half)],
                         mode="reflect")
-        # torch.stft: n_frames = 1 + floor(T / hop) after centre padding
-        t = audio.shape[-1]
-        n_frames = 1 + (t - size) // hop_length
-        idx = (np.arange(n_frames)[:, None] * hop_length
-               + np.arange(size)[None, :])
-        frames = audio[..., idx]
+        frames = frame_signal(audio, size, hop_length, pad_end=False)
     else:
         frames = frame_signal(audio, size, hop_length, pad_end=pad_end)
     spec = jnp.fft.rfft(frames * win, axis=-1)
