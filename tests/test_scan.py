@@ -37,3 +37,12 @@ def test_prefix_sum_gradient():
     scale = float(jnp.max(jnp.abs(g_ref))) + 1e-9
     np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_ref),
                                atol=2e-5 * scale)
+
+
+def test_prefix_sum_integer_exact():
+    """Integer dtypes must bypass the f32 tri-matmul (exact cumsum)."""
+    x = jnp.full((2, 600), 3_000_000, jnp.int64)  # running sum >> 2^24
+    out = prefix_sum(x, axis=-1)
+    ref = jnp.cumsum(x, axis=-1)
+    assert out.dtype == ref.dtype
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
