@@ -25,6 +25,15 @@ from sot_tpu.configs import EXPERIMENTS, PAPER_SEEDS, get_experiment
 
 
 def _save_resolved_config(cfg, out_dir: str) -> None:
+    """Persist the resolved config into the run dir, process-0 only on
+    multi-host launches (reference save_config.py:24-35 rank-0 guard)."""
+    try:
+        import jax
+
+        if jax.process_index() != 0:
+            return
+    except Exception:
+        pass
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, "train_config.json"), "w") as fh:
         json.dump(dataclasses.asdict(cfg), fh, indent=2, default=str)
