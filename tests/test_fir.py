@@ -135,3 +135,22 @@ def test_batch_mismatch_raises():
 
     with pytest.raises(ValueError):
         fft_convolve(jnp.ones((2, 100)), jnp.ones((3, 10)))
+
+
+def test_rolloff_synth_works_under_jit():
+    """Regression: the MSS-LogLin roll-off FIR chain must compile under jit
+    (windows built as jnp constants became tracers and crashed the
+    np-side FIR window assembly)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sot_tpu.models.synths import Sinusoidal
+
+    dec = Sinusoidal(n_samples=512, sample_rate=16000, amp_scale_fn=None,
+                     freq_scale_fn=None, harmonic=True, apply_roll_off=True)
+    w = jnp.ones((2, 4, 3)) * 0.3
+    f0 = jnp.ones((2, 4, 1)) * 220.0
+    out = jax.jit(lambda w, f: dec(w, f))(w, f0)
+    assert out.shape == (2, 512)
+    g = jax.grad(lambda w: jnp.sum(dec(w, f0) ** 2))(w)
+    assert bool(jnp.all(jnp.isfinite(g)))
