@@ -82,6 +82,19 @@ class ExperimentConfig:
     max_steps: int = 25000
     eval_every_steps: int = 220  # ~ reference's val every 5 epochs (44 steps/epoch)
 
+    # optimisation-dynamics knobs (no reference counterpart; tools for
+    # escaping the wrong-harmonic local minima documented in
+    # results/round1 — defaults reproduce the reference protocol exactly)
+    temperature_schedule: Optional[Tuple[float, float, int]] = None
+    #   (T_start, T_end, n_steps): log-space cosine anneal of the
+    #   soft-argmax temperature during TRAINING; eval always uses
+    #   `temperature`. None = constant `temperature` (reference behaviour).
+    lr_warmup_steps: int = 0          # linear 0 -> lr over this many steps
+    lr_decay: str = "constant"        # 'constant' | 'cosine' (to 0 at max_steps)
+    n_init_probes: int = 1            # >1: train several fresh inits for
+    probe_steps: int = 0              #   `probe_steps`, continue the one with
+                                      #   the lowest val LSD (restart trick)
+
     # evaluation metric gate (reference evaluation_metrics config block)
     evaluation_metrics: Tuple[str, ...] = (
         "mse", "log_spectral_distance", "mss", "raw_pitch_accuracy",

@@ -18,7 +18,8 @@ from typing import Callable
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from sot_tpu.training.trainer import Modules, TrainState, make_optimizer, compute_loss
+from sot_tpu.training.trainer import (Modules, TrainState, compute_loss,
+                                      make_optimizer, temperature_at)
 
 import optax
 
@@ -31,10 +32,12 @@ def make_sharded_train_step(mod: Modules, mesh: Mesh) -> Callable:
 
     def train_step(state: TrainState, x, rng):
         dropout_rng = jax.random.fold_in(rng, state.step)
+        temp = temperature_at(mod.config, state.step)
 
         def loss_fn(params):
             loss, (logs, _) = compute_loss(mod, params, x, train=True,
-                                           dropout_rng=dropout_rng)
+                                           dropout_rng=dropout_rng,
+                                           temperature=temp)
             return loss, logs
 
         (_, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)

@@ -127,12 +127,31 @@ def build_modules(cfg: ExperimentConfig) -> Modules:
 # ---------------------------------------------------------------------------
 
 
+def temperature_at(cfg: ExperimentConfig, step: Array):
+    """Soft-argmax temperature for a training step.
+
+    With ``cfg.temperature_schedule = (T0, T1, n)``: log-space cosine anneal
+    T0 -> T1 over the first n steps, constant T1 after. Otherwise the fixed
+    ``cfg.temperature`` (reference behaviour, encoder.py:323-332 + config
+    temperature: 0.1)."""
+    if cfg.temperature_schedule is None:
+        return cfg.temperature
+    t0, t1, n = cfg.temperature_schedule
+    frac = jnp.clip(step.astype(jnp.float32) / float(n), 0.0, 1.0)
+    log_t = (jnp.log(t1)
+             + 0.5 * (jnp.log(t0) - jnp.log(t1)) * (1.0 + jnp.cos(jnp.pi * frac)))
+    return jnp.exp(log_t)
+
+
 def forward(mod: Modules, params: Any, x: Array, train: bool = False,
-            dropout_rng: Optional[Array] = None) -> Dict[str, Array]:
+            dropout_rng: Optional[Array] = None,
+            temperature: Optional[Array] = None) -> Dict[str, Array]:
     """Autoencoder forward (reference trainer.py:77-143).
 
     x: [batch, n_samples]. Returns dict with x_hat, pitch_hz, pitch_unit,
-    weights, frequency logits.
+    weights, frequency logits. ``temperature`` overrides the config's
+    soft-argmax temperature (used by the annealing schedule during
+    training; may be a traced scalar).
     """
     features = mod.feature_extractor(x[:, :-1])  # drop last sample (ref parity)
     batch, n_frames, n_bins = features.shape
@@ -141,9 +160,11 @@ def forward(mod: Modules, params: Any, x: Array, train: bool = False,
     rngs = {"dropout": dropout_rng} if (train and dropout_rng is not None) else None
     z = mod.encoder.apply(params, feats, train=train, rngs=rngs)
 
-    pitch_outputs = predict_pitch(z["frequency"],
-                                  estimation_type=mod.config.estimation_type,
-                                  temperature=mod.config.temperature)
+    pitch_outputs = predict_pitch(
+        z["frequency"],
+        estimation_type=mod.config.estimation_type,
+        temperature=(mod.config.temperature if temperature is None
+                     else temperature))
     pitch_unit = pitch_outputs["pitch_unit"]  # [batch*frames, 1]
     pitch_hz = unit_to_hz(pitch_unit, mod.freq_hz_min, mod.freq_hz_max)
 
@@ -172,11 +193,13 @@ def forward(mod: Modules, params: Any, x: Array, train: bool = False,
 
 
 def compute_loss(mod: Modules, params: Any, x: Array, train: bool = False,
-                 dropout_rng: Optional[Array] = None
+                 dropout_rng: Optional[Array] = None,
+                 temperature: Optional[Array] = None
                  ) -> Tuple[Array, Dict[str, Array]]:
     """Loss with the reference's routing: MSS on raw audio, W1D on spectra
     (reference trainer.py:199-245)."""
-    out = forward(mod, params, x, train=train, dropout_rng=dropout_rng)
+    out = forward(mod, params, x, train=train, dropout_rng=dropout_rng,
+                  temperature=temperature)
     x_hat = out["x_hat"]
 
     spec_x = mod.transform(x)
@@ -204,11 +227,33 @@ def compute_loss(mod: Modules, params: Any, x: Array, train: bool = False,
 
 def make_optimizer(cfg: ExperimentConfig) -> optax.GradientTransformation:
     """torch.optim.Adam(lr, weight_decay) parity: coupled L2 added to the
-    gradient *before* the Adam moments (not decoupled AdamW)."""
+    gradient *before* the Adam moments (not decoupled AdamW).
+
+    With ``lr_warmup_steps``/``lr_decay`` set, the constant lr becomes a
+    linear-warmup (+ optional cosine-decay-to-0-at-max_steps) schedule; the
+    default config keeps the reference's constant lr exactly."""
+    if cfg.lr_warmup_steps == 0 and cfg.lr_decay == "constant":
+        scale = optax.scale(-cfg.learning_rate)
+    else:
+        schedules, bounds = [], []
+        if cfg.lr_warmup_steps > 0:
+            schedules.append(optax.linear_schedule(
+                0.0, cfg.learning_rate, cfg.lr_warmup_steps))
+            bounds.append(cfg.lr_warmup_steps)
+        if cfg.lr_decay == "cosine":
+            schedules.append(optax.cosine_decay_schedule(
+                cfg.learning_rate,
+                max(cfg.max_steps - cfg.lr_warmup_steps, 1)))
+        elif cfg.lr_decay == "constant":
+            schedules.append(optax.constant_schedule(cfg.learning_rate))
+        else:
+            raise ValueError(f"Unknown lr_decay {cfg.lr_decay!r}")
+        sched = optax.join_schedules(schedules, bounds) if bounds else schedules[0]
+        scale = optax.scale_by_schedule(lambda s: -sched(s))
     return optax.chain(
         optax.add_decayed_weights(cfg.weight_decay),
         optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
-        optax.scale(-cfg.learning_rate),
+        scale,
     )
 
 
@@ -224,10 +269,12 @@ def make_train_step(mod: Modules) -> Callable:
     def train_step(state: TrainState, x: Array, rng: Array
                    ) -> Tuple[TrainState, Dict[str, Array]]:
         dropout_rng = jax.random.fold_in(rng, state.step)
+        temp = temperature_at(mod.config, state.step)
 
         def loss_fn(params):
             loss, (logs, _) = compute_loss(mod, params, x, train=True,
-                                           dropout_rng=dropout_rng)
+                                           dropout_rng=dropout_rng,
+                                           temperature=temp)
             return loss, logs
 
         (_, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
@@ -253,10 +300,12 @@ def make_train_step_from_dataset(mod: Modules) -> Callable:
                    ) -> Tuple[TrainState, Dict[str, Array]]:
         x = jax.lax.dynamic_slice_in_dim(x_all, lo, bs, 0)
         dropout_rng = jax.random.fold_in(rng, state.step)
+        temp = temperature_at(mod.config, state.step)
 
         def loss_fn(params):
             loss, (logs, _) = compute_loss(mod, params, x, train=True,
-                                           dropout_rng=dropout_rng)
+                                           dropout_rng=dropout_rng,
+                                           temperature=temp)
             return loss, logs
 
         (_, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
@@ -375,6 +424,28 @@ def train(
         raise ValueError(
             f"train split has {n_train} samples < batch_size "
             f"{cfg.batch_size}; reduce batch_size or enlarge the dataset")
+
+    # init-probe restarts (no reference counterpart): train n_init_probes
+    # fresh inits for probe_steps each and continue the one with the lowest
+    # val LSD — an unsupervised selection signal (no ground-truth pitch) that
+    # discards runs headed into the wrong-harmonic local minima early.
+    if (cfg.n_init_probes > 1 and cfg.probe_steps > 0 and start_step == 0
+            and not resume_from):
+        probe_results = []
+        for i in range(cfg.n_init_probes):
+            st = init_state(mod, jax.random.fold_in(rng, 1000 + i))
+            order = np.random.default_rng(cfg.seed + i).permutation(steps_per_epoch)
+            for s in range(cfg.probe_steps):
+                lo = jnp.int32(int(order[s % steps_per_epoch]) * cfg.batch_size)
+                st, _ = train_step(st, x_train, lo, rng)
+            val = evaluate(mod, eval_step, st.params, splits["val"],
+                           cfg.batch_size)
+            lsd = val.get("log_spectral_distance", float("inf"))
+            logger.write({"split": "probe", "probe": i,
+                          "step": cfg.probe_steps, **val})
+            probe_results.append((lsd, st))
+        _, state = min(probe_results, key=lambda t: t[0])
+        start_step = cfg.probe_steps
 
     best_lsd = float("inf")
     best_metrics: Dict[str, float] = {}

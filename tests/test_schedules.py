@@ -1,0 +1,92 @@
+"""Optimisation-dynamics knobs: temperature annealing, lr schedule, init
+probes. These have no reference counterpart (local-minima escape tools);
+defaults must reproduce the reference protocol exactly."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from sot_tpu.configs import get_experiment
+from sot_tpu.training.trainer import make_optimizer, temperature_at
+
+TINY = dict(n_samples=1024, cqt_fmin=261.6, batch_size=8,
+            transform_n_fft=512, transform_hop=128, dataset_size=32)
+
+
+def test_temperature_schedule_endpoints_and_default():
+    cfg = get_experiment("SOT-2048")
+    assert temperature_at(cfg, jnp.int32(0)) == cfg.temperature  # no schedule
+
+    cfg = cfg.replace(temperature_schedule=(2.0, 0.1, 1000))
+    t_start = float(temperature_at(cfg, jnp.int32(0)))
+    t_mid = float(temperature_at(cfg, jnp.int32(500)))
+    t_end = float(temperature_at(cfg, jnp.int32(1000)))
+    t_after = float(temperature_at(cfg, jnp.int32(20000)))
+    np.testing.assert_allclose(t_start, 2.0, rtol=1e-5)
+    # log-space cosine midpoint = geometric mean
+    np.testing.assert_allclose(t_mid, np.sqrt(2.0 * 0.1), rtol=1e-4)
+    np.testing.assert_allclose(t_end, 0.1, rtol=1e-5)
+    np.testing.assert_allclose(t_after, 0.1, rtol=1e-5)
+
+
+def test_lr_schedule_warmup_cosine():
+    cfg = get_experiment("SOT-2048", lr_warmup_steps=100, lr_decay="cosine",
+                         max_steps=1100)
+    opt = make_optimizer(cfg)
+    params = {"w": jnp.ones(4)}
+    g = {"w": jnp.ones(4)}
+    st = opt.init(params)
+
+    def lr_at(step):
+        # effective step size on a unit gradient after Adam normalisation
+        s = st
+        for _ in range(step + 1):
+            upd, s2 = opt.update(g, s, params)
+            s = s2
+        return float(jnp.abs(upd["w"]).max())
+
+    # warmup: step-0 update ~0; default path (no schedule) is non-zero
+    first = lr_at(0)
+    assert first < 1e-7
+    base = make_optimizer(get_experiment("SOT-2048"))
+    upd0, _ = base.update(g, base.init(params), params)
+    assert float(jnp.abs(upd0["w"]).max()) > 1e-5
+
+
+def test_default_optimizer_unchanged():
+    cfg = get_experiment("SOT-2048")
+    assert cfg.temperature_schedule is None
+    assert cfg.lr_warmup_steps == 0 and cfg.lr_decay == "constant"
+    assert cfg.n_init_probes == 1 and cfg.probe_steps == 0
+    opt = make_optimizer(cfg)
+    params = {"w": jnp.full(3, 0.5)}
+    upd, _ = opt.update({"w": jnp.zeros(3)}, opt.init(params), params)
+    # pure weight decay through Adam at step 1: bias-corrected update = -lr*wd-ish sign
+    assert np.all(np.isfinite(np.asarray(upd["w"])))
+
+
+def test_train_with_probes_and_schedules(tmp_path):
+    from sot_tpu.cli import main
+
+    out = str(tmp_path / "probe_run")
+    rc = main([
+        "train", "--experiment", "SOT-512", "--steps", "6",
+        "--eval-every", "6", "--out", out, "--dataset-size", "32",
+        "--set", "n_samples=1024", "--set", "cqt_fmin=261.6",
+        "--set", "batch_size=8", "--set", "transform_n_fft=512",
+        "--set", "transform_hop=128",
+        "--set", "temperature_schedule=[1.0,0.1,4]",
+        "--set", "lr_warmup_steps=2", "--set", "lr_decay=cosine",
+        "--set", "n_init_probes=2", "--set", "probe_steps=2",
+    ])
+    assert rc == 0
+    lines = [json.loads(l) for l in open(os.path.join(out, "log.jsonl"))]
+    probes = [l for l in lines if l.get("split") == "probe"]
+    assert len(probes) == 2
+    assert all(np.isfinite(p["log_spectral_distance"]) for p in probes)
+    best = json.load(open(os.path.join(out, "best_metrics.json")))
+    assert np.isfinite(best["loss/total"])
