@@ -150,6 +150,13 @@ EXPERIMENTS: Dict[str, ExperimentConfig] = {
         apply_roll_off=True,
         losses=(LossConfig(kind="mss", weight=1.0, mag_weight=1.0,
                            logmag_weight=1.0),)),
+    # SOT-2048-Anneal (beyond the reference): SOT-2048 + soft-argmax
+    # temperature annealing — rescues the wrong-harmonic local-minima
+    # seeds (results/round1/trick_sweep.json: seed 101112 RPA 0.08->76.3,
+    # seed 789 RPA 23.7->99.3 on the test split)
+    "SOT-2048-Anneal": _BASE.replace(
+        name="SOT-2048-Anneal", losses=_sot_losses(),
+        temperature_schedule=(1.0, 0.1, 3000)),
 }
 
 PAPER_SEEDS = (42, 123, 456, 789, 101112)

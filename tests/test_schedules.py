@@ -57,6 +57,15 @@ def test_lr_schedule_warmup_cosine():
     assert float(jnp.abs(upd0["w"]).max()) > 1e-5
 
 
+def test_anneal_preset_registered():
+    cfg = get_experiment("SOT-2048-Anneal")
+    assert cfg.temperature_schedule == (1.0, 0.1, 3000)
+    base = get_experiment("SOT-2048")
+    # paper families keep the exact reference protocol
+    assert base.temperature_schedule is None
+    assert cfg.losses == base.losses
+
+
 def test_default_optimizer_unchanged():
     cfg = get_experiment("SOT-2048")
     assert cfg.temperature_schedule is None
