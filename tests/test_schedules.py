@@ -59,7 +59,7 @@ def test_lr_schedule_warmup_cosine():
 
 def test_anneal_preset_registered():
     cfg = get_experiment("SOT-2048-Anneal")
-    assert cfg.temperature_schedule == (1.0, 0.1, 3000)
+    assert cfg.temperature_schedule == (1.0, 0.1, 1500)
     base = get_experiment("SOT-2048")
     # paper families keep the exact reference protocol
     assert base.temperature_schedule is None
