@@ -94,6 +94,13 @@ class ExperimentConfig:
     n_init_probes: int = 1            # >1: train several fresh inits for
     probe_steps: int = 0              #   `probe_steps`, continue the one with
                                       #   the lowest val LSD (restart trick)
+    odd_ratio_prior_weight: float = 0.0
+    #   unsupervised octave-degeneracy breaker: the synth can explain any
+    #   clip equally well at f0/2 with even-only harmonic amplitudes
+    #   (cli analyze: 99/102 residual errors are octave-down). This prior
+    #   adds weight * mean(-log(odd_energy / total_energy)) over the
+    #   amplitude head — among loss-equivalent explanations it prefers the
+    #   irreducible one (fundamental active). 0 = off (reference protocol).
 
     # evaluation metric gate (reference evaluation_metrics config block)
     evaluation_metrics: Tuple[str, ...] = (

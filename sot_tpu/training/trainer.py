@@ -220,6 +220,20 @@ def compute_loss(mod: Modules, params: Any, x: Array, train: bool = False,
             value = fn(spec_x, spec_x_hat_w, x_pos=pos, y_pos=pos) * weight
         logs[f"loss/{type(fn).__name__}"] = value
         total = total + value
+    if mod.config.odd_ratio_prior_weight > 0.0:
+        # octave-degeneracy breaker (no reference counterpart): the synth
+        # explains any clip equally well at f0/2 with even-only harmonics
+        # (harmonic k -> mode 2k, max true harmonic 8 <= 20 modes), so the
+        # task is unidentifiable octave-DOWN for the unsupervised loss.
+        # Penalise vanishing odd-mode (1,3,5,..) energy: the true f0 always
+        # has an active fundamental, the f0/2 impostor has none.
+        w = out["weights"]  # [batch, frames, n_modes]
+        odd = w[..., 0::2].sum(axis=-1)
+        tot_w = w.sum(axis=-1)
+        ratio = odd / (tot_w + 1e-7)
+        prior = -jnp.log(ratio + 1e-6).mean() * mod.config.odd_ratio_prior_weight
+        logs["loss/OddRatioPrior"] = prior
+        total = total + prior
     logs["loss/total"] = total
     out.update({"spec_x": spec_x, "spec_x_hat": spec_x_hat})
     return total, (logs, out)

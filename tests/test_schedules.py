@@ -78,6 +78,35 @@ def test_default_optimizer_unchanged():
     assert np.all(np.isfinite(np.asarray(upd["w"])))
 
 
+def test_odd_ratio_prior():
+    import numpy as np
+
+    from sot_tpu import data as data_lib
+    from sot_tpu.training.trainer import build_modules, compute_loss, init_state
+
+    base = get_experiment("SOT-512", **TINY)
+    with_prior = base.replace(odd_ratio_prior_weight=0.01)
+    sig, _, _ = data_lib.generate_sinusoid_dataset(
+        seed=0, size=4, n_samples=1024, render_batch=4)
+    x = jnp.asarray(data_lib.peak_normalize(sig))
+
+    mod0 = build_modules(base)
+    params = init_state(mod0, jax.random.key(0)).params
+    loss0, (logs0, _) = compute_loss(mod0, params, x)
+    assert "loss/OddRatioPrior" not in logs0  # default off
+
+    mod1 = build_modules(with_prior)
+    loss1, (logs1, _) = compute_loss(mod1, params, x)
+    prior = float(logs1["loss/OddRatioPrior"])
+    assert prior > 0.0
+    np.testing.assert_allclose(float(loss1), float(loss0) + prior, rtol=1e-5)
+
+    # gradient flows through the prior into the amplitude head
+    g = jax.grad(lambda p: compute_loss(mod1, p, x)[0])(params)
+    flat = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in flat)
+
+
 def test_train_with_probes_and_schedules(tmp_path):
     from sot_tpu.cli import main
 
