@@ -101,6 +101,12 @@ class ExperimentConfig:
     #   adds weight * mean(-log(odd_energy / total_energy)) over the
     #   amplitude head — among loss-equivalent explanations it prefers the
     #   irreducible one (fundamental active). 0 = off (reference protocol).
+    odd_ratio_prior_start: int = 0
+    #   training step at which the prior switches on. Applying it from
+    #   step 0 distorts the basin lottery (measured: seed 123 drops to
+    #   RPA ~32); it is meant as a LATE tie-breaker between
+    #   loss-equivalent basins, e.g. start it after the temperature
+    #   anneal and initial convergence (~8-10k steps).
 
     # evaluation metric gate (reference evaluation_metrics config block)
     evaluation_metrics: Tuple[str, ...] = (

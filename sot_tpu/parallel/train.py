@@ -19,7 +19,8 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from sot_tpu.training.trainer import (Modules, TrainState, compute_loss,
-                                      make_optimizer, temperature_at)
+                                      make_optimizer, prior_scale_at,
+                                      temperature_at)
 
 import optax
 
@@ -33,11 +34,13 @@ def make_sharded_train_step(mod: Modules, mesh: Mesh) -> Callable:
     def train_step(state: TrainState, x, rng):
         dropout_rng = jax.random.fold_in(rng, state.step)
         temp = temperature_at(mod.config, state.step)
+        pscale = prior_scale_at(mod.config, state.step)
 
         def loss_fn(params):
             loss, (logs, _) = compute_loss(mod, params, x, train=True,
                                            dropout_rng=dropout_rng,
-                                           temperature=temp)
+                                           temperature=temp,
+                                           prior_scale=pscale)
             return loss, logs
 
         (_, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)

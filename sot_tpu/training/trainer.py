@@ -143,6 +143,14 @@ def temperature_at(cfg: ExperimentConfig, step: Array):
     return jnp.exp(log_t)
 
 
+def prior_scale_at(cfg: ExperimentConfig, step: Array) -> Optional[Array]:
+    """0/1 gate for the odd-ratio prior: off before
+    ``cfg.odd_ratio_prior_start`` (late tie-breaking), on after."""
+    if cfg.odd_ratio_prior_weight <= 0.0 or cfg.odd_ratio_prior_start <= 0:
+        return None
+    return (step >= cfg.odd_ratio_prior_start).astype(jnp.float32)
+
+
 def forward(mod: Modules, params: Any, x: Array, train: bool = False,
             dropout_rng: Optional[Array] = None,
             temperature: Optional[Array] = None) -> Dict[str, Array]:
@@ -194,7 +202,8 @@ def forward(mod: Modules, params: Any, x: Array, train: bool = False,
 
 def compute_loss(mod: Modules, params: Any, x: Array, train: bool = False,
                  dropout_rng: Optional[Array] = None,
-                 temperature: Optional[Array] = None
+                 temperature: Optional[Array] = None,
+                 prior_scale: Optional[Array] = None
                  ) -> Tuple[Array, Dict[str, Array]]:
     """Loss with the reference's routing: MSS on raw audio, W1D on spectra
     (reference trainer.py:199-245)."""
@@ -232,6 +241,8 @@ def compute_loss(mod: Modules, params: Any, x: Array, train: bool = False,
         tot_w = w.sum(axis=-1)
         ratio = odd / (tot_w + 1e-7)
         prior = -jnp.log(ratio + 1e-6).mean() * mod.config.odd_ratio_prior_weight
+        if prior_scale is not None:
+            prior = prior * prior_scale
         logs["loss/OddRatioPrior"] = prior
         total = total + prior
     logs["loss/total"] = total
@@ -284,11 +295,13 @@ def make_train_step(mod: Modules) -> Callable:
                    ) -> Tuple[TrainState, Dict[str, Array]]:
         dropout_rng = jax.random.fold_in(rng, state.step)
         temp = temperature_at(mod.config, state.step)
+        pscale = prior_scale_at(mod.config, state.step)
 
         def loss_fn(params):
             loss, (logs, _) = compute_loss(mod, params, x, train=True,
                                            dropout_rng=dropout_rng,
-                                           temperature=temp)
+                                           temperature=temp,
+                                           prior_scale=pscale)
             return loss, logs
 
         (_, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
@@ -315,11 +328,13 @@ def make_train_step_from_dataset(mod: Modules) -> Callable:
         x = jax.lax.dynamic_slice_in_dim(x_all, lo, bs, 0)
         dropout_rng = jax.random.fold_in(rng, state.step)
         temp = temperature_at(mod.config, state.step)
+        pscale = prior_scale_at(mod.config, state.step)
 
         def loss_fn(params):
             loss, (logs, _) = compute_loss(mod, params, x, train=True,
                                            dropout_rng=dropout_rng,
-                                           temperature=temp)
+                                           temperature=temp,
+                                           prior_scale=pscale)
             return loss, logs
 
         (_, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
@@ -349,11 +364,13 @@ def make_train_steps_scan(mod: Modules) -> Callable:
             x = jax.lax.dynamic_slice_in_dim(x_all, lo, bs, 0)
             dropout_rng = jax.random.fold_in(rng, st.step)
             temp = temperature_at(mod.config, st.step)
+            pscale = prior_scale_at(mod.config, st.step)
 
             def loss_fn(params):
                 loss, (logs, _) = compute_loss(mod, params, x, train=True,
                                                dropout_rng=dropout_rng,
-                                               temperature=temp)
+                                               temperature=temp,
+                                               prior_scale=pscale)
                 return loss, logs
 
             (_, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(st.params)

@@ -106,6 +106,18 @@ def test_odd_ratio_prior():
     flat = jax.tree_util.tree_leaves(g)
     assert all(np.isfinite(np.asarray(l)).all() for l in flat)
 
+    # late-start gate: scale 0 before the start step, 1 after
+    from sot_tpu.training.trainer import prior_scale_at
+    late = with_prior.replace(odd_ratio_prior_start=100)
+    assert prior_scale_at(base, jnp.int32(0)) is None  # prior off
+    assert float(prior_scale_at(late, jnp.int32(99))) == 0.0
+    assert float(prior_scale_at(late, jnp.int32(100))) == 1.0
+    mod2 = build_modules(late)
+    loss2, (logs2, _) = compute_loss(mod2, params, x,
+                                     prior_scale=jnp.float32(0.0))
+    assert float(logs2["loss/OddRatioPrior"]) == 0.0
+    np.testing.assert_allclose(float(loss2), float(loss0), rtol=1e-6)
+
 
 def test_train_with_probes_and_schedules(tmp_path):
     from sot_tpu.cli import main
