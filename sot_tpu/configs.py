@@ -108,6 +108,12 @@ class ExperimentConfig:
     #   loss-equivalent basins, e.g. start it after the temperature
     #   anneal and initial convergence (~8-10k steps).
 
+    eval_octave_correction: bool = False
+    #   unsupervised test-time octave disambiguation at EVAL only
+    #   (metrics.octave_correct_pitch): shift predicted pitch up an octave
+    #   when the input spectrum has no energy at the predicted fundamental.
+    #   Off by default (reference metric semantics).
+
     # evaluation metric gate (reference evaluation_metrics config block)
     evaluation_metrics: Tuple[str, ...] = (
         "mse", "log_spectral_distance", "mss", "raw_pitch_accuracy",

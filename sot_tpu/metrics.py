@@ -109,6 +109,54 @@ def mean_octave_difference(pred_hz: Array, true_hz: Array) -> Array:
     return jnp.where(jnp.sum(nonzero) == 0, 0.0, num / total)
 
 
+def octave_correct_pitch(x: Array, pitch_hz: Array, sample_rate: float = 16000,
+                         n_fft: int = 2048, rel_threshold: float = 0.1,
+                         max_shifts: int = 2) -> Array:
+    """Unsupervised test-time octave disambiguation (no reference
+    counterpart; see README 'Optimisation-dynamics knobs').
+
+    The 20-mode harmonic synth explains any clip equally well at f0/2 with
+    even-only amplitudes, so unsupervised training converges octave-DOWN on
+    a subset of clips (``cli analyze``: 99/102 residual errors). The INPUT
+    spectrum disambiguates for free: a true fundamental has energy at the
+    predicted f0; an octave-down prediction points at a frequency bin with
+    none. Rule (clip-level, on the median frame pitch): while the input
+    magnitude near f0-hat (a +-2% band) is < rel_threshold x the clip's
+    global spectral peak, double the prediction (the global-peak reference
+    also catches multi-octave errors, where 2*f0-hat is empty too; the
+    dataset's amplitudes are >= 0.4 x max, so true fundamentals sit far
+    above the threshold).
+
+    x: [batch, T] audio; pitch_hz: [batch, frames, 1]. Returns corrected
+    pitch_hz of the same shape.
+    """
+    spec = stft_magnitude(x, size=n_fft, overlap=0.75).mean(axis=1)  # [b, bins]
+    df = sample_rate / n_fft
+    n_bins = spec.shape[-1]
+    f0 = jnp.median(pitch_hz[:, :, 0], axis=1)  # [b]
+    factor = jnp.ones_like(f0)
+    nyquist = sample_rate / 2.0
+    global_peak = spec.max(axis=-1)
+    offsets = jnp.arange(-8, 9)
+
+    def band_peak(freq):
+        idx = jnp.round(freq / df).astype(jnp.int32)
+        vals = jnp.take_along_axis(
+            spec, jnp.clip(idx[:, None] + offsets[None, :], 0, n_bins - 1),
+            axis=1)
+        halfwidth = jnp.maximum(1, (0.02 * idx).astype(jnp.int32))
+        mask = jnp.abs(offsets)[None, :] <= halfwidth[:, None]
+        return jnp.where(mask, vals, 0.0).max(axis=-1)
+
+    for _ in range(max_shifts):
+        cur = f0 * factor
+        fundamental = band_peak(cur)
+        shift = ((fundamental < rel_threshold * global_peak)
+                 & (2.0 * cur < nyquist))
+        factor = jnp.where(shift, factor * 2.0, factor)
+    return pitch_hz * factor[:, None, None]
+
+
 def wasserstein_distance(x: Array, x_hat: Array, p: float = 1, n_fft: int = 512) -> Array:
     """W_p^p between magnitude spectra on a fixed linspace support
     (reference metrics.py:145-149)."""

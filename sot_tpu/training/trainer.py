@@ -409,10 +409,15 @@ def _eval_metrics(mod: Modules, params: Any, x: Array, true_pitch: Array
                   ) -> Dict[str, Array]:
     loss, (logs, out) = compute_loss(mod, params, x, train=False)
     pitch_hz = out["pitch_hz"]  # [batch, frames, 1]
+    pitch_unit = out["pitch_unit"]
+    if mod.config.eval_octave_correction:
+        pitch_hz = metrics_lib.octave_correct_pitch(
+            x, pitch_hz, sample_rate=mod.config.sample_rate)
+        pitch_unit = hz_to_unit(pitch_hz, mod.freq_hz_min, mod.freq_hz_max)
     true_pitch_hz = jnp.broadcast_to(true_pitch[:, None, :], pitch_hz.shape)
     m = metrics_lib.compute_metrics(
         mod.evaluation_metrics, x, out["x_hat"], pitch_hz, true_pitch_hz,
-        frequency_unit=out["pitch_unit"],
+        frequency_unit=pitch_unit,
         true_frequency_unit=jnp.broadcast_to(
             hz_to_unit(true_pitch, mod.freq_hz_min, mod.freq_hz_max)[:, None, :],
             pitch_hz.shape),

@@ -102,3 +102,28 @@ def test_compute_metrics_dispatcher():
                                "octave_difference"}
     np.testing.assert_allclose(out["raw_pitch_accuracy"], 1.0, atol=1e-6)
     assert float(out["mse"]) > 0
+
+
+def test_octave_correct_pitch():
+    # clip = harmonics 1..4 of f0: octave-down predictions get doubled,
+    # correct and octave-up-impossible ones stay
+    sr, T = 16000, 4096
+    t = np.arange(T) / sr
+    f0 = np.array([440.0, 440.0, 200.0, 7000.0])
+    x = np.stack([
+        sum(np.sin(2 * np.pi * k * f * t) / k for k in range(1, 5))
+        for f in f0
+    ]).astype(np.float32)
+    frames = 16
+    pred = np.stack([
+        np.full(frames, 220.0),   # octave-down error -> corrected to 440
+        np.full(frames, 440.0),   # correct -> unchanged
+        np.full(frames, 50.0),    # two octaves down -> 100 -> 200
+        np.full(frames, 7000.0),  # correct; doubling would pass nyquist
+    ]).astype(np.float32)[..., None]
+    out = np.asarray(M.octave_correct_pitch(jnp.asarray(x), jnp.asarray(pred),
+                                            sample_rate=sr))
+    np.testing.assert_allclose(out[0, :, 0], 440.0)
+    np.testing.assert_allclose(out[1, :, 0], 440.0)
+    np.testing.assert_allclose(out[2, :, 0], 200.0)
+    np.testing.assert_allclose(out[3, :, 0], 7000.0)
