@@ -111,6 +111,7 @@ def mean_octave_difference(pred_hz: Array, true_hz: Array) -> Array:
 
 def octave_correct_pitch(x: Array, pitch_hz: Array, sample_rate: float = 16000,
                          n_fft: int = 2048, rel_threshold: float = 0.1,
+                         down_threshold: float = 0.25,
                          max_shifts: int = 2) -> Array:
     """Unsupervised test-time octave disambiguation (no reference
     counterpart; see README 'Optimisation-dynamics knobs').
@@ -120,12 +121,15 @@ def octave_correct_pitch(x: Array, pitch_hz: Array, sample_rate: float = 16000,
     a subset of clips (``cli analyze``: 99/102 residual errors). The INPUT
     spectrum disambiguates for free: a true fundamental has energy at the
     predicted f0; an octave-down prediction points at a frequency bin with
-    none. Rule (clip-level, on the median frame pitch): while the input
+    none. Rules (clip-level, on the median frame pitch): while the input
     magnitude near f0-hat (a +-2% band) is < rel_threshold x the clip's
     global spectral peak, double the prediction (the global-peak reference
     also catches multi-octave errors, where 2*f0-hat is empty too; the
     dataset's amplitudes are >= 0.4 x max, so true fundamentals sit far
-    above the threshold).
+    above the threshold). Symmetrically, strong energy (> down_threshold
+    x peak) at f0-hat/2 means the true fundamental is BELOW the
+    prediction (harmonic signals have no energy under the fundamental):
+    halve it (octave-UP errors, e.g. the SOT-2048-SS family).
 
     x: [batch, T] audio; pitch_hz: [batch, frames, 1]. Returns corrected
     pitch_hz of the same shape.
@@ -148,12 +152,23 @@ def octave_correct_pitch(x: Array, pitch_hz: Array, sample_rate: float = 16000,
         mask = jnp.abs(offsets)[None, :] <= halfwidth[:, None]
         return jnp.where(mask, vals, 0.0).max(axis=-1)
 
+    # octave-DOWN errors (f0-hat = f0/2, even-only amplitudes): the
+    # predicted fundamental band is empty -> shift up
     for _ in range(max_shifts):
         cur = f0 * factor
         fundamental = band_peak(cur)
         shift = ((fundamental < rel_threshold * global_peak)
                  & (2.0 * cur < nyquist))
         factor = jnp.where(shift, factor * 2.0, factor)
+    # octave-UP errors (f0-hat = 2*f0): the harmonic signal has no energy
+    # BELOW its fundamental, so strong energy at f0-hat/2 means the true
+    # fundamental is lower -> shift down (symmetric rule; a clip corrected
+    # up cannot trigger it, its old fundamental band was empty)
+    for _ in range(max_shifts):
+        cur = f0 * factor
+        half = band_peak(0.5 * cur)
+        shift = (half > down_threshold * global_peak) & (0.5 * cur >= 38.0)
+        factor = jnp.where(shift, factor * 0.5, factor)
     return pitch_hz * factor[:, None, None]
 
 

@@ -127,3 +127,18 @@ def test_octave_correct_pitch():
     np.testing.assert_allclose(out[1, :, 0], 440.0)
     np.testing.assert_allclose(out[2, :, 0], 200.0)
     np.testing.assert_allclose(out[3, :, 0], 7000.0)
+
+    # octave-UP errors: strong energy at f0-hat/2 -> shift down
+    pred_up = np.stack([
+        np.full(frames, 880.0),   # octave-up error -> corrected to 440
+        np.full(frames, 440.0),   # correct -> unchanged (no energy at 220)
+        np.full(frames, 800.0),   # two octaves up (f0 200) -> 400 -> 200
+        np.full(frames, 7000.0),  # correct -> unchanged
+    ]).astype(np.float32)[..., None]
+    out = np.asarray(M.octave_correct_pitch(jnp.asarray(x),
+                                            jnp.asarray(pred_up),
+                                            sample_rate=sr))
+    np.testing.assert_allclose(out[0, :, 0], 440.0)
+    np.testing.assert_allclose(out[1, :, 0], 440.0)
+    np.testing.assert_allclose(out[2, :, 0], 200.0)
+    np.testing.assert_allclose(out[3, :, 0], 7000.0)
