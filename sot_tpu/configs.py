@@ -110,9 +110,12 @@ class ExperimentConfig:
 
     eval_octave_correction: bool = False
     #   unsupervised test-time octave disambiguation at EVAL only
-    #   (metrics.octave_correct_pitch): shift predicted pitch up an octave
-    #   when the input spectrum has no energy at the predicted fundamental.
-    #   Off by default (reference metric semantics).
+    #   (metrics.octave_correct_pitch), bidirectional: shift the predicted
+    #   pitch UP an octave when the input spectrum has no energy at the
+    #   predicted fundamental (octave-down errors), and DOWN when it has
+    #   strong energy at half the prediction (octave-up errors — harmonic
+    #   signals have nothing below their fundamental). Off by default
+    #   (reference metric semantics).
 
     # evaluation metric gate (reference evaluation_metrics config block)
     evaluation_metrics: Tuple[str, ...] = (

@@ -112,7 +112,8 @@ def mean_octave_difference(pred_hz: Array, true_hz: Array) -> Array:
 def octave_correct_pitch(x: Array, pitch_hz: Array, sample_rate: float = 16000,
                          n_fft: int = 2048, rel_threshold: float = 0.1,
                          down_threshold: float = 0.25,
-                         max_shifts: int = 2) -> Array:
+                         max_shifts: int = 3,
+                         min_frequency_hz: float = 38.0) -> Array:
     """Unsupervised test-time octave disambiguation (no reference
     counterpart; see README 'Optimisation-dynamics knobs').
 
@@ -130,6 +131,8 @@ def octave_correct_pitch(x: Array, pitch_hz: Array, sample_rate: float = 16000,
     x peak) at f0-hat/2 means the true fundamental is BELOW the
     prediction (harmonic signals have no energy under the fundamental):
     halve it (octave-UP errors, e.g. the SOT-2048-SS family).
+    ``min_frequency_hz`` bounds the down-shifts — tie it to the dataset's
+    generation range (ExperimentConfig.freq_gen_min).
 
     x: [batch, T] audio; pitch_hz: [batch, frames, 1]. Returns corrected
     pitch_hz of the same shape.
@@ -141,7 +144,8 @@ def octave_correct_pitch(x: Array, pitch_hz: Array, sample_rate: float = 16000,
     factor = jnp.ones_like(f0)
     nyquist = sample_rate / 2.0
     global_peak = spec.max(axis=-1)
-    offsets = jnp.arange(-8, 9)
+    max_halfwidth = max(1, int(0.02 * (n_bins - 1)))  # full +-2% at Nyquist
+    offsets = jnp.arange(-max_halfwidth, max_halfwidth + 1)
 
     def band_peak(freq):
         idx = jnp.round(freq / df).astype(jnp.int32)
@@ -167,7 +171,8 @@ def octave_correct_pitch(x: Array, pitch_hz: Array, sample_rate: float = 16000,
     for _ in range(max_shifts):
         cur = f0 * factor
         half = band_peak(0.5 * cur)
-        shift = (half > down_threshold * global_peak) & (0.5 * cur >= 38.0)
+        shift = ((half > down_threshold * global_peak)
+                 & (0.5 * cur >= min_frequency_hz))
         factor = jnp.where(shift, factor * 0.5, factor)
     return pitch_hz * factor[:, None, None]
 

@@ -235,8 +235,15 @@ def compute_loss(mod: Modules, params: Any, x: Array, train: bool = False,
         # (harmonic k -> mode 2k, max true harmonic 8 <= 20 modes), so the
         # task is unidentifiable octave-DOWN for the unsupervised loss.
         # Penalise vanishing odd-mode (1,3,5,..) energy: the true f0 always
-        # has an active fundamental, the f0/2 impostor has none.
+        # has an active fundamental, the f0/2 impostor has none. Modes the
+        # synth will Nyquist-mask anyway are excluded — otherwise the
+        # impostor could satisfy the ratio with inaudible above-Nyquist
+        # odd modes at zero reconstruction cost.
         w = out["weights"]  # [batch, frames, n_modes]
+        k = jnp.arange(1, w.shape[-1] + 1, dtype=jnp.float32)
+        audible = (k[None, None, :] * out["pitch_hz"]
+                   < mod.config.sample_rate / 2.0).astype(w.dtype)
+        w = w * audible
         odd = w[..., 0::2].sum(axis=-1)
         tot_w = w.sum(axis=-1)
         ratio = odd / (tot_w + 1e-7)
@@ -407,12 +414,16 @@ def make_viz_step(mod: Modules) -> Callable:
 
 def _eval_metrics(mod: Modules, params: Any, x: Array, true_pitch: Array
                   ) -> Dict[str, Array]:
-    loss, (logs, out) = compute_loss(mod, params, x, train=False)
+    # prior_scale=0: eval metrics stay reference-comparable — the training
+    # prior never enters val/test loss/total regardless of its gate
+    loss, (logs, out) = compute_loss(mod, params, x, train=False,
+                                     prior_scale=jnp.float32(0.0))
     pitch_hz = out["pitch_hz"]  # [batch, frames, 1]
     pitch_unit = out["pitch_unit"]
     if mod.config.eval_octave_correction:
         pitch_hz = metrics_lib.octave_correct_pitch(
-            x, pitch_hz, sample_rate=mod.config.sample_rate)
+            x, pitch_hz, sample_rate=mod.config.sample_rate,
+            min_frequency_hz=0.95 * mod.config.freq_gen_min)
         pitch_unit = hz_to_unit(pitch_hz, mod.freq_hz_min, mod.freq_hz_max)
     true_pitch_hz = jnp.broadcast_to(true_pitch[:, None, :], pitch_hz.shape)
     m = metrics_lib.compute_metrics(
