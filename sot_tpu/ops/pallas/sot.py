@@ -452,6 +452,70 @@ def sot_bilinear(alpha: Array, beta: Array, g: Array, p: float = 2.0,
 
 
 # ---------------------------------------------------------------------------
+# O(n log n) sort-merge formulation for p = 2 (experimental alternative to
+# the O(n^2/band) plane kernel; enable with SOT_TPU_W2_SORTMERGE=1)
+# ---------------------------------------------------------------------------
+
+
+def _sot_w2_sortmerge(alpha: Array, beta: Array, g: Array) -> Array:
+    """W_2^2 rows via marginals + a merged-sort coupling integral.
+
+    Same quantity as ``_sot_bilinear_xla(alpha, beta, g, p=2)``:
+
+        W = sum_i (alpha_i - gamma_i) g_i^2 + sum_j (beta_j - delta_j) g_j^2
+            - 2 * C,   C = int_0^cap Fu^{-1}(q) Fv^{-1}(q) dq
+
+    Writing the inverse CDFs as step sums Fu^{-1}(q) = g_0 +
+    sum_k dg_k H(q - alpha_{k-1}) turns the coupling into
+
+        C = g_0^2 cap + g_0 sum_k dg_k (a_k + b_k) + S,
+        S = sum_{k,l} dg_k dg_l min(a_k, b_l),
+        a_k = cap - alpha_{k-1},  b_l = cap - beta_{l-1}  (both >= 0),
+
+    and with min(a,b) = int 1[t<a] 1[t<b] dt, S becomes
+    int P(t) Q(t) dt with P a prefix sum over the DESC-sorted merged values
+    {a} u {b} — ONE lax.sort with static weight payloads + MXU prefix sums,
+    no n^2 plane and no per-row gathers (sort's VJP is the permutation).
+    Subgradients at exact ties (notably the saturated a=b=0 cap tail) are
+    distributed differently from the kernel's 0.5 convention — the usual
+    measure-zero kink caveat; the clip upstream zeroes most of them anyway.
+    """
+    from sot_tpu.ops.scan import prefix_sum
+
+    rows, n_aug = alpha.shape
+    gamma = jnp.pad(alpha, ((0, 0), (1, 0)))[:, :-1]
+    delta = jnp.pad(beta, ((0, 0), (1, 0)))[:, :-1]
+    g2 = g * g
+    marg = jnp.einsum("rn,n->r", alpha - gamma, g2) + jnp.einsum(
+        "rn,n->r", beta - delta, g2)
+
+    cap = alpha[:, -1]  # == beta[:, -1] (both end clipped at cap)
+    x = (g[1:] - g[:-1]).astype(jnp.float32)          # [n_aug-1] static
+    a = cap[:, None] - alpha[:, :-1]                  # [rows, n_aug-1]
+    b = cap[:, None] - beta[:, :-1]
+    m2 = 2 * (n_aug - 1)
+    vals = jnp.concatenate([a, b], axis=-1)           # [rows, m2]
+    wa = jnp.broadcast_to(
+        jnp.concatenate([x, jnp.zeros_like(x)]), (rows, m2))
+    wb = jnp.broadcast_to(
+        jnp.concatenate([jnp.zeros_like(x), x]), (rows, m2))
+    neg_t, swa, swb = jax.lax.sort((-vals, wa, wb), dimension=-1, num_keys=1)
+    t = -neg_t                                        # DESC merged values
+    X = prefix_sum(swa, axis=-1)
+    Y = prefix_sum(swb, axis=-1)
+    widths = t - jnp.concatenate(
+        [t[:, 1:], jnp.zeros((rows, 1), t.dtype)], axis=-1)
+    S = jnp.sum(X * Y * widths, axis=-1)
+    cross = (g[0] * g[0]) * cap + g[0] * (
+        jnp.einsum("rn,n->r", a, x) + jnp.einsum("rn,n->r", b, x)) + S
+    return marg - 2.0 * cross
+
+
+def _use_sortmerge() -> bool:
+    return bool(os.environ.get("SOT_TPU_W2_SORTMERGE"))
+
+
+# ---------------------------------------------------------------------------
 # Same-grid Wasserstein entry point
 # ---------------------------------------------------------------------------
 
@@ -504,6 +568,9 @@ def wasserstein_same_grid(
     if p == 1.0:
         dg = gaug[1:] - gaug[:-1]
         return jnp.sum(jnp.abs(alpha[:, :-1] - beta[:, :-1]) * dg[None, :], -1)
+
+    if p == 2.0 and _use_sortmerge():
+        return _sot_w2_sortmerge(alpha, beta, gaug)
 
     if use_pallas is None:
         use_pallas = _use_pallas()
