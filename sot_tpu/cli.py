@@ -103,6 +103,7 @@ def _profile_steps(cfg, trace_dir: str, n_steps: int = 5) -> None:
 
 
 def cmd_train(args: argparse.Namespace) -> int:
+    from sot_tpu import data as data_lib
     from sot_tpu.training.trainer import train
 
     overrides = {}
@@ -132,17 +133,37 @@ def cmd_train(args: argparse.Namespace) -> int:
     if args.profile:
         _profile_steps(cfg, os.path.join(out, "trace"))
 
+    splits = data_lib.dataset_from_config(cfg)
     state, best = train(
         cfg,
         max_steps=args.steps,
         checkpoint_dir=os.path.join(out, "checkpoints"),
         log_file=os.path.join(out, "log.jsonl"),
+        splits=splits,
         resume_from=args.resume,
         figure_dir=out if args.figures else None,
     )
     with open(os.path.join(out, "best_metrics.json"), "w") as fh:
         json.dump(best, fh, indent=2)
     print(json.dumps({"best_val_metrics": best}))
+
+    if args.final_eval and "test" in splits:
+        # in-process test eval of the best-LSD params (the returned state
+        # carries them), with and without the unsupervised octave
+        # correction — saves a full CLI/compile round-trip per sweep run
+        from sot_tpu.training.trainer import (build_modules, evaluate,
+                                              make_eval_step)
+
+        for octcorr, fname in ((False, "test_metrics.json"),
+                               (True, "test_metrics_octcorr.json")):
+            cfg_e = cfg.replace(eval_octave_correction=octcorr)
+            mod = build_modules(cfg_e)
+            m = evaluate(mod, make_eval_step(mod), state.params,
+                         splits["test"], cfg.batch_size)
+            with open(os.path.join(out, fname), "w") as fh:
+                json.dump({"test_metrics": m}, fh, indent=2)
+            print(json.dumps({("test_metrics_octcorr" if octcorr
+                               else "test_metrics"): m}))
     return 0
 
 
@@ -270,6 +291,10 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--profile", action="store_true",
                    help="capture a jax.profiler device trace of a few steps "
                         "into <out>/trace and print the per-op summary")
+    t.add_argument("--final-eval", action="store_true",
+                   help="after training, evaluate the best-LSD params on the "
+                        "test split in-process (plain + octave-corrected) and "
+                        "write test_metrics[_octcorr].json into the run dir")
     t.set_defaults(fn=cmd_train)
 
     e = sub.add_parser("evaluate", help="evaluate a checkpoint")

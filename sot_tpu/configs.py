@@ -51,6 +51,10 @@ class ExperimentConfig:
     dataset_size: int = 4000
     n_sinusoids: int = 8
     n_sinusoids_min: int = 1
+    mask_rand_amplitudes: bool = False
+    #   False: mask the TOP harmonics (sequential masking); True: mask a
+    #   random subset of the non-fundamental harmonics (reference
+    #   synthetic_data.py:88-117 `mask_rand_amplitudes`)
     data_seed: int = 0
     dataset_path: Optional[str] = None  # load reference .pth instead of generating
 

@@ -151,6 +151,7 @@ def dataset_from_config(cfg) -> Dict[str, SplitArrays]:
         sample_rate=cfg.sample_rate, amplitude_min=cfg.amplitude_min,
         amplitude_max=cfg.amplitude_max, size=cfg.dataset_size,
         n_sinusoids=cfg.n_sinusoids, n_sinusoids_min=cfg.n_sinusoids_min,
+        mask_rand_amplitudes=cfg.mask_rand_amplitudes,
     )
 
 

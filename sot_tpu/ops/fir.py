@@ -30,44 +30,43 @@ Array = jax.Array
 
 def apply_window_to_impulse_response(impulse_response: Array, window_size: int = 0,
                                      causal: bool = False) -> Array:
-    """Window an IR (zero-phase form) and return it in causal form
-    (reference ddsp.py:417-482)."""
-    restore_batch_dim = False
-    if impulse_response.ndim == 2:
-        impulse_response = impulse_response[:, None, :]
-        restore_batch_dim = True
-    impulse_response = jnp.asarray(impulse_response, jnp.float32)
+    """Hann-window an IR around its zero-phase peak; return the causal form.
 
-    if causal:
-        impulse_response = jnp.roll(impulse_response, impulse_response.shape[-1] // 2, axis=-1)
+    The whole alignment problem is solved on the HOST as two constant
+    vectors — a zero-phase-aligned window and a causal-reorder index list —
+    so the device work is one multiply and one static gather.  Semantics
+    (including the asymmetric crop offsets) pin the frequency-sampling FIR
+    design of reference ddsp.py:417-482, itself derived from Google's
+    Apache-2.0 DDSP library.
+    """
+    ir = jnp.asarray(impulse_response, jnp.float32)
+    batch_only = ir.ndim == 2
+    if batch_only:
+        ir = ir[:, None, :]
+    n = ir.shape[-1]
+    if causal:  # input given in causal form: rotate the peak to index 0
+        ir = jnp.roll(ir, n // 2, axis=-1)
 
-    ir_size = impulse_response.shape[-1]
-    if window_size <= 0 or window_size > ir_size:
-        window_size = ir_size
-    window = np.asarray(hann_window(window_size))
+    w = window_size if 0 < window_size <= n else n
+    head = (w + 1) // 2  # taps on the peak side of the zero-phase IR
+    win = np.asarray(hann_window(w), np.float32)
 
-    padding = ir_size - window_size
-    if padding > 0:
-        half_idx = (window_size + 1) // 2
-        window = np.concatenate([window[half_idx:], np.zeros(padding, np.float32),
-                                 window[:half_idx]])
+    if w < n:
+        # zero-phase layout: the window's halves sit at the two array ends
+        # (peak side wrapped to the back), zeros over the discarded middle
+        win_zp = np.concatenate(
+            [win[head:], np.zeros(n - w, np.float32), win[:head]])
+        # causal reorder cropped to the window support: head-2 leading +
+        # head+1 trailing taps (the off-by-one asymmetry is the reference's)
+        order = np.concatenate([np.arange(n - head + 2, n), np.arange(head + 1)])
     else:
-        window = np.roll(window, window.shape[-1] // 2)
+        # full-length window: plain rotation between zero-phase and causal
+        win_zp = np.roll(win, n // 2)
+        order = (np.arange(n) - n // 2) % n
 
-    impulse_response = jnp.asarray(window)[None, None, :] * impulse_response
-
-    if padding > 0:
-        first_half_start = (ir_size - (half_idx - 1)) + 1
-        second_half_end = half_idx + 1
-        impulse_response = jnp.concatenate(
-            [impulse_response[..., first_half_start:],
-             impulse_response[..., :second_half_end]], axis=-1)
-    else:
-        impulse_response = jnp.roll(impulse_response, impulse_response.shape[-1] // 2, axis=-1)
-
-    if restore_batch_dim:
-        impulse_response = impulse_response[:, 0, :]
-    return impulse_response
+    out = ir * jnp.asarray(win_zp)[None, None, :]
+    out = out[..., jnp.asarray(order)]
+    return out[:, 0, :] if batch_only else out
 
 
 def frequency_impulse_response(magnitudes: Array, window_size: int = 0) -> Array:

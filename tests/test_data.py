@@ -38,6 +38,31 @@ def test_random_mask_variant():
     assert (amps[:, 0] > 0).all()
     n_active = (amps > 0).sum(1)
     assert n_active.min() >= 1 and n_active.max() <= 8
+    # random masking: some row has a non-prefix active pattern
+    active = amps > 0
+    assert any(not row[: row.sum()].all() for row in active)
+
+
+def test_mask_rand_amplitudes_exposed_in_config():
+    """ExperimentConfig.mask_rand_amplitudes reaches the generator
+    (reference synthetic_data.py:88-117 random masking mode)."""
+    from sot_tpu.configs import get_experiment
+
+    cfg = get_experiment("SOT-2048", dataset_size=60, n_samples=1024,
+                         mask_rand_amplitudes=True)
+    splits = D.dataset_from_config(cfg)
+    amps = np.concatenate([splits[s].weights for s in ("train", "val", "test")])
+    active = amps > 0
+    assert (amps[:, 0] > 0).all()
+    assert any(not row[: row.sum()].all() for row in active)
+    # and the sequential default stays a prefix mask
+    cfg_seq = get_experiment("SOT-2048", dataset_size=60, n_samples=1024)
+    splits_seq = D.dataset_from_config(cfg_seq)
+    amps_seq = np.concatenate(
+        [splits_seq[s].weights for s in ("train", "val", "test")])
+    for row in amps_seq > 0:
+        k = row.sum()
+        assert row[:k].all() and not row[k:].any()
 
 
 def test_signals_are_harmonic():

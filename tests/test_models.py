@@ -1,6 +1,7 @@
 """Synth + encoder: parity with the reference torch modules / param counts."""
 
 import numpy as np
+import pytest
 import torch
 import jax
 import jax.numpy as jnp
@@ -159,6 +160,7 @@ def test_encoder_grad_flows():
     assert any(np.abs(np.asarray(l)).max() > 0 for l in leaves)
 
 
+@pytest.mark.slow
 def test_detach_weights_reference_semantics():
     """detach_weights renders a second weights-detached signal fed only to
     the Wasserstein term; MSS still trains the amplitude head
