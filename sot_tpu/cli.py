@@ -167,6 +167,39 @@ def cmd_train(args: argparse.Namespace) -> int:
     return 0
 
 
+def _coerce_saved_config(experiment: str, saved: dict) -> dict:
+    """Coerce train_config.json values back to ExperimentConfig field types.
+
+    _save_resolved_config serialises with ``default=str``, so JSON round-trips
+    lose tuple-ness (lists) and would silently stringify any future
+    non-JSON-native field. Compare each value against the preset's field and
+    (a) restore tuples, (b) fail loudly on a str where the preset holds a
+    non-str non-None value (the field did not round-trip)."""
+    from sot_tpu.configs import get_experiment
+
+    preset = get_experiment(experiment)
+    out = {}
+    for key, val in saved.items():
+        if not hasattr(preset, key):
+            raise ValueError(
+                f"train_config.json field {key!r} is not an ExperimentConfig "
+                f"field (config schema drift?)")
+        ref = getattr(preset, key)
+        if isinstance(ref, tuple) and isinstance(val, list):
+            val = tuple(val)
+        elif isinstance(val, list) and ref is None:
+            # Optional tuple fields (e.g. temperature_schedule) default None
+            val = tuple(val)
+        elif (isinstance(val, str) and ref is not None
+              and not isinstance(ref, str)):
+            raise ValueError(
+                f"train_config.json field {key!r} stringified to {val!r} "
+                f"(preset holds {type(ref).__name__}); the config did not "
+                f"round-trip — fix _save_resolved_config for this field")
+        out[key] = val
+    return out
+
+
 def _config_for_ckpt(args) -> "object":
     """Resolve the experiment config for an evaluation/analysis command.
 
@@ -183,7 +216,7 @@ def _config_for_ckpt(args) -> "object":
             saved = json.load(open(cfg_path))
             experiment = saved.pop("name", experiment)
             saved.pop("losses", None)  # preset-defined; not a flat override
-            overrides.update(saved)
+            overrides.update(_coerce_saved_config(experiment, saved))
     if args.dataset:
         overrides["dataset_path"] = args.dataset
     if getattr(args, "dataset_size", None):

@@ -35,8 +35,18 @@ def _tril(chunk: int):
 def prefix_sum(x: Array, axis: int = -1) -> Array:
     """Inclusive prefix sum along ``axis`` via blocked tri-matmul.
 
-    Matches jnp.cumsum semantics (fp32 accumulation); falls back to
-    jnp.cumsum when the axis is too short to benefit.
+    Falls back to jnp.cumsum when the axis is too short to benefit.
+
+    Precision (deliberate): the einsum inherits the JAX default matmul
+    precision. On the TPU MXU that truncates *operands* to bf16 while
+    ``preferred_element_type`` keeps the *accumulator* fp32 — i.e. each
+    128-term within-chunk sum is an fp32 sum of bf16-rounded terms, and the
+    cross-chunk offsets are exact fp32. Relative error along a 4096-element
+    phase accumulation stays ~1e-3 (pinned in
+    tests/test_scan.py::test_prefix_sum_bf16_operand_numerics), and default
+    bf16 matmul arithmetic was measured to *help* training escape the
+    SOT plateau (round-1 A/B; see CLAUDE.md) — do not pin this to
+    Precision.HIGHEST.
     """
     x = jnp.asarray(x)
     axis = axis % x.ndim

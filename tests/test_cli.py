@@ -44,6 +44,28 @@ def test_resume_continues(run_dir, tmp_path):
     assert max(steps) == 4  # resumed from step 2, trained to 4
 
 
+def test_saved_config_round_trip_coercion():
+    """Replayed train_config.json values are type-coerced (lists back to
+    tuples) and str-coerced non-str fields fail loudly instead of being
+    silently injected into the dataclass."""
+    from sot_tpu.cli import _coerce_saved_config
+
+    out = _coerce_saved_config("SOT-2048", {
+        "evaluation_metrics": ["mse", "raw_pitch_accuracy"],
+        "temperature_schedule": [1.0, 0.1, 1500],
+        "batch_size": 8,
+        "dataset_path": "/tmp/x.pth",
+    })
+    assert out["evaluation_metrics"] == ("mse", "raw_pitch_accuracy")
+    assert out["temperature_schedule"] == (1.0, 0.1, 1500)
+    assert out["batch_size"] == 8 and out["dataset_path"] == "/tmp/x.pth"
+
+    with pytest.raises(ValueError, match="did not round-trip"):
+        _coerce_saved_config("SOT-2048", {"batch_size": "64"})
+    with pytest.raises(ValueError, match="not an ExperimentConfig"):
+        _coerce_saved_config("SOT-2048", {"no_such_field": 1})
+
+
 def test_evaluate_and_analyze(run_dir, capsys):
     from sot_tpu.cli import main
 

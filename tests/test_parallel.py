@@ -64,7 +64,12 @@ def test_freq_sharded_wasserstein_matches_single_device():
     grid = jnp.asarray(np.sort(rng.uniform(0, 1, bins)).astype(np.float32))
     uw = rng.uniform(0, 1, (rows, bins)).astype(np.float32)
     vw = rng.uniform(0, 1, (rows, bins)).astype(np.float32)
-    uw = uw / uw.sum(1, keepdims=True)
+    # u mass 0.95 (not 1.0): a u-CDF terminating exactly AT the 1.0 cutoff
+    # puts every row on the quantile-threshold tie, where reduction order
+    # legitimately decides the flip (tie semantics are pinned in
+    # test_sot_pallas). Keeping both CDFs strictly away from the threshold
+    # lets this parity test run tight.
+    uw = uw / uw.sum(1, keepdims=True) * 0.95
     vw = vw / vw.sum(1, keepdims=True) * 1.3
 
     sharded = wasserstein_1d_freq_sharded(grid, jnp.asarray(uw), jnp.asarray(vw),
@@ -74,10 +79,15 @@ def test_freq_sharded_wasserstein_matches_single_device():
     # With limit_quantile_range, a CDF value within float-eps of the 1.0
     # threshold can flip a whole quantile segment in or out depending on the
     # cumsum summation order (the sharded path and the tri-matmul prefix use
-    # different — equally valid — reduction trees), changing W by up to that
-    # segment's measure. Compare with a tolerance that absorbs one such flip.
-    np.testing.assert_allclose(np.asarray(sharded), np.asarray(single),
-                               rtol=2e-2, atol=1e-6)
+    # different — equally valid — reduction trees). Mask only the rows whose
+    # exact (float64) CDF approaches the cutoff within flip range; every
+    # other row must agree tightly.
+    cdf_v = np.cumsum(vw.astype(np.float64), axis=1)
+    hazard = np.abs(cdf_v - 1.0).min(axis=1) < 1e-4
+    assert hazard.sum() < rows, "degenerate test data: every row at the kink"
+    np.testing.assert_allclose(np.asarray(sharded)[~hazard],
+                               np.asarray(single)[~hazard],
+                               rtol=1e-5, atol=1e-7)
 
 
 def test_freq_sharded_wasserstein_grad():

@@ -39,6 +39,36 @@ def test_prefix_sum_gradient():
                                atol=2e-5 * scale)
 
 
+def test_prefix_sum_bf16_operand_numerics():
+    """Pin the numerics class of the production TPU path.
+
+    On the MXU the default matmul precision rounds *operands* to bf16 while
+    the accumulator stays fp32 (preferred_element_type). CI runs on CPU, so
+    emulate that worst case by pre-rounding the inputs to bf16 and bound the
+    error of a 4096-sample oscillator-phase accumulation (the longest, most
+    precision-sensitive prefix_sum in the framework) against the exact f64
+    cumsum. If a JAX default-precision change ever makes the real TPU path
+    WORSE than this emulation, oscillator phase (thousands of radians)
+    drifts and tests/test_synth_ops catches it; this test documents the
+    accepted bound. See ops/scan.py docstring: bf16 default is deliberate.
+    """
+    rng = np.random.default_rng(2)
+    # phase increments for 40 Hz-2 kHz tones at 16 kHz: 2*pi*f/sr
+    f = rng.uniform(40.0, 2000.0, (8, 1, 20))
+    inc = (2 * np.pi * f / 16000.0) * np.ones((8, 4096, 20))
+    inc32 = inc.astype(np.float32)
+    exact = np.cumsum(inc.astype(np.float64), axis=1)
+
+    emulated = np.asarray(prefix_sum(
+        jnp.asarray(inc32).astype(jnp.bfloat16).astype(jnp.float32), axis=1))
+    rel = np.abs(emulated - exact) / np.abs(exact)
+    assert rel.max() < 4e-3, rel.max()  # bf16 operand rounding bound
+
+    fp32 = np.asarray(prefix_sum(jnp.asarray(inc32), axis=1))
+    rel32 = np.abs(fp32 - exact) / np.abs(exact)
+    assert rel32.max() < 1e-5, rel32.max()
+
+
 def test_prefix_sum_integer_exact():
     """Integer dtypes must bypass the f32 tri-matmul (exact cumsum)."""
     x = jnp.full((2, 600), 3_000_000, jnp.int64)  # running sum >> 2^24
