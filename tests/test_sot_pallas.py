@@ -220,3 +220,105 @@ def test_pallas_band_skip_concentrated_mass_multi_slab():
                                        atol=1e-5 * sc)
     finally:
         os.environ.pop("SOT_TPU_PALLAS_INTERPRET", None)
+
+
+# ---------------------------------------------------------------------------
+# O(n log n) sort-merge W2 path (SOT_TPU_W2_SORTMERGE)
+# ---------------------------------------------------------------------------
+
+
+def _alpha_beta(grid, u, v, lqr):
+    """Replicate wasserstein_same_grid's CDF preprocessing (cap + tail lane)."""
+    U = jnp.cumsum(u, -1)
+    V = jnp.cumsum(v, -1)
+    if lqr:
+        cap = jnp.maximum(jnp.max(jnp.where(U <= 1.0, U, 0.0), -1),
+                          jnp.max(jnp.where(V <= 1.0, V, 0.0), -1))[:, None]
+    else:
+        cap = jnp.maximum(U[:, -1], V[:, -1])[:, None]
+    alpha = jnp.concatenate([jnp.minimum(U, cap), cap], axis=-1)
+    beta = jnp.concatenate([jnp.minimum(V, cap), cap], axis=-1)
+    gaug = jnp.concatenate([grid, grid[-1:]], axis=-1)
+    return alpha, beta, gaug
+
+
+@pytest.mark.parametrize("lqr", [False, True])
+@pytest.mark.parametrize("v_mass", [1.0, 0.62, 1.9])
+def test_sortmerge_matches_xla_forward(lqr, v_mass):
+    from sot_tpu.ops.pallas.sot import _sot_w2_sortmerge
+
+    grid, u, v = _make_case(11, rows=14, n=103, v_mass=v_mass)
+    alpha, beta, gaug = _alpha_beta(grid, u, v, lqr)
+    ref = _sot_bilinear_xla(alpha, beta, gaug, 2.0)
+    out = _sot_w2_sortmerge(alpha, beta, gaug)
+    scale = float(jnp.max(jnp.abs(ref))) + 1e-9
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=3e-5 * scale)
+
+
+def test_sortmerge_env_dispatch_matches_general(monkeypatch):
+    """SOT_TPU_W2_SORTMERGE=1 routes wasserstein_same_grid(p=2) through the
+    merge path and still matches the general sort-based implementation."""
+    monkeypatch.setenv("SOT_TPU_W2_SORTMERGE", "1")
+    grid, u, v = _make_case(12, v_mass=1.9)
+    rows, n = u.shape
+    gridr = jnp.tile(grid, (rows, 1))
+    ref = wasserstein_1d(gridr, gridr, u, v, p=2, require_sort=False,
+                         limit_quantile_range=True)
+    new = wasserstein_same_grid(grid, u, v, p=2.0, limit_quantile_range=True)
+    np.testing.assert_allclose(np.asarray(new), np.asarray(ref),
+                               rtol=2e-4, atol=1e-6)
+
+
+@pytest.mark.parametrize("lqr", [False, True])
+@pytest.mark.parametrize("v_mass", [1.0, 1.9])
+def test_sortmerge_gradients_match_xla(lqr, v_mass):
+    """Cotangents through the sort+prefix-sum formulation equal the plane
+    form's away from kinks (zero bins / cap-saturated CDF ties, where
+    subgradient conventions legitimately differ)."""
+    from sot_tpu.ops.pallas.sot import _sot_w2_sortmerge
+
+    grid, u, v = _make_case(13, rows=10, n=89, v_mass=v_mass, zeros=False)
+
+    def f_merge(uu, vv):
+        a, b, gaug = _alpha_beta(grid, uu, vv, lqr)
+        return jnp.sum(_sot_w2_sortmerge(a, b, gaug))
+
+    def f_plane(uu, vv):
+        a, b, gaug = _alpha_beta(grid, uu, vv, lqr)
+        return jnp.sum(_sot_bilinear_xla(a, b, gaug, 2.0))
+
+    gu_m, gv_m = jax.grad(f_merge, argnums=(0, 1))(u, v)
+    gu_p, gv_p = jax.grad(f_plane, argnums=(0, 1))(u, v)
+
+    # kink mask: bins whose CDF is clipped at the cap (the saturated tail,
+    # where a==b==0 ties make the subgradient convention-dependent)
+    U = np.cumsum(np.asarray(u), -1)
+    V = np.cumsum(np.asarray(v), -1)
+    if lqr:
+        cap = np.maximum(np.max(np.where(U <= 1.0, U, 0.0), -1),
+                         np.max(np.where(V <= 1.0, V, 0.0), -1))[:, None]
+    else:
+        cap = np.maximum(U[:, -1], V[:, -1])[:, None]
+    eps = 1e-5
+    ok = (U < cap - eps) & (V < cap - eps)
+    scale = max(float(jnp.max(jnp.abs(gu_p))), float(jnp.max(jnp.abs(gv_p))))
+    np.testing.assert_allclose(np.asarray(gu_m)[ok], np.asarray(gu_p)[ok],
+                               atol=1e-3 * scale)
+    np.testing.assert_allclose(np.asarray(gv_m)[ok], np.asarray(gv_p)[ok],
+                               atol=1e-3 * scale)
+
+
+def test_sortmerge_exact_tie_rows_finite():
+    """Degenerate rows (identical spectra, fully saturated CDFs) must still
+    produce finite values (0) and finite gradients on the merge path."""
+    from sot_tpu.ops.pallas.sot import _sot_w2_sortmerge
+
+    grid = jnp.linspace(0.0, 1.0, 64)
+    u = jnp.ones((4, 64)) / 64.0
+    a, b, gaug = _alpha_beta(grid, u, u, True)
+    out = _sot_w2_sortmerge(a, b, gaug)
+    np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-6)
+    g = jax.grad(lambda vv: jnp.sum(
+        _sot_w2_sortmerge(*_alpha_beta(grid, u, vv, True))))(u)
+    assert np.isfinite(np.asarray(g)).all()
