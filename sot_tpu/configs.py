@@ -120,6 +120,16 @@ class ExperimentConfig:
     #   strong energy at half the prediction (octave-up errors — harmonic
     #   signals have nothing below their fundamental). Off by default
     #   (reference metric semantics).
+    inference_octave_correction: bool = False
+    #   the same correction as a deployment-time inference mode:
+    #   trainer.predict applies it to the returned pitch (and re-derives
+    #   pitch_unit) when set. Independent of the eval gate so metric
+    #   reporting and serving behaviour can be chosen separately.
+    octave_correction_rel_threshold: float = 0.1
+    octave_correction_down_threshold: float = 0.25
+    #   band-energy thresholds of the correction, relative to the clip's
+    #   global spectral peak (sensitivity vs amplitude_min:
+    #   results/round2/octcorr_sensitivity.json)
 
     # evaluation metric gate (reference evaluation_metrics config block)
     evaluation_metrics: Tuple[str, ...] = (

@@ -412,6 +412,36 @@ def make_viz_step(mod: Modules) -> Callable:
     return jax.jit(viz_step)
 
 
+def apply_octave_correction(mod: Modules, x: Array, pitch_hz: Array
+                            ) -> Tuple[Array, Array]:
+    """Config-parameterised unsupervised octave correction; returns the
+    corrected (pitch_hz, pitch_unit)."""
+    pitch_hz = metrics_lib.octave_correct_pitch(
+        x, pitch_hz, sample_rate=mod.config.sample_rate,
+        rel_threshold=mod.config.octave_correction_rel_threshold,
+        down_threshold=mod.config.octave_correction_down_threshold,
+        min_frequency_hz=0.95 * mod.config.freq_gen_min)
+    return pitch_hz, hz_to_unit(pitch_hz, mod.freq_hz_min, mod.freq_hz_max)
+
+
+def predict(mod: Modules, params: Any, x: Array,
+            octave_correction: Optional[bool] = None) -> Dict[str, Array]:
+    """Deployment inference entry: pitch + harmonic amplitudes for audio x.
+
+    Unlike the eval path, the (fully unsupervised) octave correction here
+    rewrites the *returned* prediction, so a served model benefits from the
+    disambiguation, gated by ``cfg.inference_octave_correction`` (or the
+    explicit argument). jit-able: ``jax.jit(partial(predict, mod))``.
+    """
+    out = forward(mod, params, x, train=False)
+    if octave_correction is None:
+        octave_correction = mod.config.inference_octave_correction
+    if octave_correction:
+        out["pitch_hz"], out["pitch_unit"] = apply_octave_correction(
+            mod, x, out["pitch_hz"])
+    return out
+
+
 def _eval_metrics(mod: Modules, params: Any, x: Array, true_pitch: Array
                   ) -> Dict[str, Array]:
     # prior_scale=0: eval metrics stay reference-comparable — the training
@@ -421,10 +451,7 @@ def _eval_metrics(mod: Modules, params: Any, x: Array, true_pitch: Array
     pitch_hz = out["pitch_hz"]  # [batch, frames, 1]
     pitch_unit = out["pitch_unit"]
     if mod.config.eval_octave_correction:
-        pitch_hz = metrics_lib.octave_correct_pitch(
-            x, pitch_hz, sample_rate=mod.config.sample_rate,
-            min_frequency_hz=0.95 * mod.config.freq_gen_min)
-        pitch_unit = hz_to_unit(pitch_hz, mod.freq_hz_min, mod.freq_hz_max)
+        pitch_hz, pitch_unit = apply_octave_correction(mod, x, pitch_hz)
     true_pitch_hz = jnp.broadcast_to(true_pitch[:, None, :], pitch_hz.shape)
     m = metrics_lib.compute_metrics(
         mod.evaluation_metrics, x, out["x_hat"], pitch_hz, true_pitch_hz,

@@ -142,3 +142,40 @@ def test_octave_correct_pitch():
     np.testing.assert_allclose(out[1, :, 0], 440.0)
     np.testing.assert_allclose(out[2, :, 0], 200.0)
     np.testing.assert_allclose(out[3, :, 0], 7000.0)
+
+
+def test_predict_inference_octave_correction():
+    """trainer.predict applies the (config-gated) octave correction to the
+    RETURNED pitch — the deployment path, not just eval metrics."""
+    import jax
+    from sot_tpu.configs import get_experiment
+    from sot_tpu.training.trainer import (apply_octave_correction,
+                                          build_modules, forward, init_state,
+                                          predict)
+    from sot_tpu import data as D
+
+    cfg = get_experiment("SOT-2048", batch_size=4, cqt_fmin=261.6,
+                         n_samples=1024, transform_n_fft=512,
+                         transform_hop=128)
+    mod = build_modules(cfg)
+    state = init_state(mod, jax.random.key(0))
+    signals, _, _ = D.generate_sinusoid_dataset(
+        seed=5, size=4, n_samples=1024, render_batch=4)
+    x = jnp.asarray(D.peak_normalize(signals))
+
+    raw = forward(mod, state.params, x, train=False)
+    out_off = predict(mod, state.params, x)
+    np.testing.assert_allclose(np.asarray(out_off["pitch_hz"]),
+                               np.asarray(raw["pitch_hz"]))
+
+    mod_on = build_modules(cfg.replace(inference_octave_correction=True))
+    out_on = predict(mod_on, state.params, x)
+    want_hz, want_unit = apply_octave_correction(mod_on, x, raw["pitch_hz"])
+    np.testing.assert_allclose(np.asarray(out_on["pitch_hz"]),
+                               np.asarray(want_hz))
+    np.testing.assert_allclose(np.asarray(out_on["pitch_unit"]),
+                               np.asarray(want_unit))
+    # explicit argument overrides the config gate
+    out_forced = predict(mod, state.params, x, octave_correction=True)
+    np.testing.assert_allclose(np.asarray(out_forced["pitch_hz"]),
+                               np.asarray(want_hz))
