@@ -1,0 +1,134 @@
+"""Assemble the round-2 paper tables from the sweep's per-run JSONs.
+
+Column A  (reference protocol): 5 seeds x 7 families, plain test metrics —
+the reference's `synthetic_results_paper_best-lsd` semantics
+(reference eval_paper.py:111-253).
+Column B  (best-known unsupervised recipe, beyond-reference): per family,
+temperature-anneal [1.0,0.1,1500] where the family has the quantile cutoff
++ bidirectional octave correction at eval; plain training + correction
+otherwise (recipe map below; octave correction is dropped for families
+where the round-2 sensitivity sweep shows it misfires).
+
+SOT-2048 column-A rows are reused from round 1 (identical protocol,
+results/round1/synthetic_results_best-lsd.json); everything else reads
+runs/round2/{ref,best}/<FAM>-<seed>/test_metrics[_octcorr].json written by
+scripts/paper_protocol_r2.sh.
+
+Usage: python scripts/collect_round2.py [--out results/round2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from sot_tpu.eval_paper import aggregate, format_paper_table, rename_metrics
+
+FAMILIES = ("SOT-2048", "SOT-512", "SOT-512-LogF", "SOT-NoCut",
+            "SOT-2048-SS", "MSS-Lin", "MSS-LogLin")
+SEEDS = (42, 123, 456, 789, 101112)
+
+# column-B recipe per family: (runs subdir, which metrics file)
+#   'best' = trained with the anneal preset; 'ref' = reference training
+#   'octcorr' = bidirectional octave correction applied at eval
+BEST_RECIPE = {
+    "SOT-2048": ("best", "octcorr"),
+    "SOT-512": ("best", "octcorr"),
+    "SOT-2048-SS": ("best", "octcorr"),
+    "SOT-512-LogF": ("ref", "octcorr"),
+    "SOT-NoCut": ("ref", "plain"),   # correction misfires on NoCut (round 1)
+    "MSS-Lin": ("ref", "octcorr"),
+    "MSS-LogLin": ("ref", "octcorr"),
+}
+
+
+def read_run(path: str, variant: str):
+    fname = ("test_metrics.json" if variant == "plain"
+             else "test_metrics_octcorr.json")
+    fp = os.path.join(path, fname)
+    if not os.path.exists(fp):
+        return None
+    return rename_metrics(json.load(open(fp))["test_metrics"])
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="results/round2")
+    ap.add_argument("--runs", default="runs/round2")
+    args = ap.parse_args()
+    os.makedirs(args.out, exist_ok=True)
+
+    per_run = []
+    table_a, table_b = {}, {}
+    missing = []
+
+    r1 = json.load(open("results/round1/synthetic_results_best-lsd.json"))
+
+    for fam in FAMILIES:
+        rows_a = []
+        if fam == "SOT-2048":
+            for r in r1:
+                if r["experiment"] == "SOT-2048":
+                    row = {k: v for k, v in r.items()
+                           if k not in ("experiment", "run")}
+                    rows_a.append(row)
+                    per_run.append({"experiment": fam, "column": "reference",
+                                    "run": r["run"], **row})
+        else:
+            for seed in SEEDS:
+                row = read_run(f"{args.runs}/ref/{fam}-{seed}", "plain")
+                if row is None:
+                    missing.append(f"ref/{fam}-{seed}")
+                    continue
+                rows_a.append(row)
+                per_run.append({"experiment": fam, "column": "reference",
+                                "run": f"{fam}-{seed}", **row})
+        if rows_a:
+            table_a[fam] = aggregate(rows_a)
+
+        sub, variant = BEST_RECIPE[fam]
+        rows_b = []
+        for seed in SEEDS:
+            row = read_run(f"{args.runs}/{sub}/{fam}-{seed}", variant)
+            if row is None:
+                missing.append(f"{sub}/{fam}-{seed} ({variant})")
+                continue
+            rows_b.append(row)
+            per_run.append({"experiment": fam, "column": "best-recipe",
+                            "run": f"{sub}/{fam}-{seed}", **row})
+        if rows_b:
+            table_b[fam] = aggregate(rows_b)
+
+    with open(os.path.join(args.out, "synthetic_results_best-lsd.json"), "w") as fh:
+        json.dump(per_run, fh, indent=2)
+    out = {"reference_protocol": table_a, "best_recipe": table_b,
+           "recipe_map": {k: "+".join(v) for k, v in BEST_RECIPE.items()},
+           "missing_runs": missing}
+    with open(os.path.join(args.out, "synthetic_results_paper_best-lsd.json"), "w") as fh:
+        json.dump(out, fh, indent=2)
+    lines = ["# column A: reference protocol (5 seeds/family)"]
+    lines += format_paper_table(table_a)
+    lines += ["", "# column B: best-known unsupervised recipe"]
+    lines += format_paper_table(table_b)
+    with open(os.path.join(args.out, "synthetic_results_paper_best-lsd.csv"), "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+
+    for name, tab in (("REFERENCE PROTOCOL", table_a), ("BEST RECIPE", table_b)):
+        print(f"== {name} ==")
+        for fam, row in tab.items():
+            msg = "  ".join(
+                f"{m}={row[m]['mean']:.2f}({row[m]['std']:.2f})"
+                for m in ("RPA", "RCA", "OD", "LSD") if m in row)
+            print(f"  {fam:14s} {msg}")
+    if missing:
+        print(f"missing: {len(missing)} runs", missing[:8], file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

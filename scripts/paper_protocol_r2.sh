@@ -1,0 +1,96 @@
+#!/bin/bash
+# Round-2 paper protocol: 5 seeds x 7 families, reference protocol (column A,
+# runs/round2/ref) + best-known per-family recipe (column B, runs/round2/best).
+#
+# Reuses round-1 artifacts where metrics/checkpoints survive:
+#   - SOT-2048 reference-protocol 5-seed metrics: results/round1/synthetic_results_best-lsd.json
+#   - SOT-2048 anneal-1500 checkpoints seeds 42/123/456/789: runs/tricks/anneal1500-*
+#   - SOT-512 / SOT-2048-SS anneal seed 42: runs/tricks/sot512-anneal-42, sot2048ss-anneal-42
+# Everything else is trained fresh. Resumable: completed runs are skipped;
+# `touch runs/round2/STOP` halts the queue between tasks.
+set -u
+cd /root/repo
+export JAX_COMPILATION_CACHE_DIR=/root/repo/.jax_cache
+mkdir -p runs/round2/ref runs/round2/best results/round2
+
+stop_check() { [ -f runs/round2/STOP ] && { echo "STOP file present, exiting"; exit 0; }; }
+
+# train_one <out-subdir> <experiment> <seed> [extra cli args...]
+train_one() {
+  local sub=$1 exp=$2 seed=$3; shift 3
+  local out="runs/round2/$sub"
+  stop_check
+  if [ -f "$out/test_metrics_octcorr.json" ]; then echo "skip $sub"; return 0; fi
+  echo "=== train $sub ($exp seed $seed) $(date +%H:%M:%S) ==="
+  for attempt in 1 2; do
+    timeout 2700 python -m sot_tpu.cli train --experiment "$exp" --seed "$seed" \
+      --out "$out" --final-eval "$@" > "$out.train.log" 2>&1
+    rc=$?
+    if [ $rc -eq 0 ] && [ -f "$out/test_metrics_octcorr.json" ]; then
+      python3 - "$out" <<'EOF'
+import json, sys
+for v in ("", "_octcorr"):
+    try:
+        m = json.load(open(sys.argv[1] + f"/test_metrics{v}.json"))["test_metrics"]
+        print(json.dumps({"run": sys.argv[1] + v,
+                          "RPA": round(100*m["raw_pitch_accuracy"], 2),
+                          "RCA": round(100*m["raw_chroma_accuracy"], 2),
+                          "LSD": round(m["log_spectral_distance"], 2)}))
+    except Exception as e:
+        print(f"collect fail {v}: {e}")
+EOF
+      return 0
+    fi
+    echo "TRAIN FAIL $sub rc=$rc attempt=$attempt $(tail -2 "$out.train.log" | head -1)"
+    sleep 20
+  done
+  return 1
+}
+
+# evalonly <out-subdir> <ckpt-dir>  (reuse a round-1 checkpoint: both evals)
+evalonly() {
+  local sub=$1 ckpt=$2
+  local out="runs/round2/$sub"
+  stop_check
+  if [ -f "$out/test_metrics_octcorr.json" ]; then echo "skip $sub"; return 0; fi
+  if [ ! -d "$ckpt" ]; then echo "MISSING CKPT $ckpt"; return 1; fi
+  echo "=== evalonly $sub <- $ckpt $(date +%H:%M:%S) ==="
+  mkdir -p "$out"
+  echo "$ckpt" > "$out/source_ckpt.txt"
+  timeout 900 python -m sot_tpu.cli evaluate --split test --ckpt "$ckpt" \
+    > "$out/test_metrics.json" 2> "$out.eval.log" || { echo "EVAL FAIL $sub"; return 1; }
+  timeout 900 python -m sot_tpu.cli evaluate --split test --ckpt "$ckpt" \
+    --set eval_octave_correction=true \
+    > "$out/test_metrics_octcorr.json" 2>> "$out.eval.log" || { echo "EVAL FAIL $sub (octcorr)"; return 1; }
+}
+
+ANNEAL1500=(--set 'temperature_schedule=[1.0,0.1,1500]')
+
+# --- column B headline completion (SOT-2048 anneal-1500, 5 seeds) ---
+train_one best/SOT-2048-101112 SOT-2048-Anneal 101112
+evalonly  best/SOT-2048-42     runs/tricks/anneal1500-42/checkpoints/best-lsd
+evalonly  best/SOT-2048-123    runs/tricks/anneal1500-123/checkpoints/best-lsd
+evalonly  best/SOT-2048-456    runs/tricks/anneal1500-456/checkpoints/best-lsd
+evalonly  best/SOT-2048-789    runs/tricks/anneal1500-789/checkpoints/best-lsd
+
+# --- column A: remaining families, 5 seeds each ---
+for seed in 42 123 456 789 101112; do train_one "ref/SOT-512-LogF-$seed" SOT-512-LogF "$seed"; done
+for seed in 42 123 456 789 101112; do train_one "ref/SOT-512-$seed"      SOT-512      "$seed"; done
+for seed in 42 123 456 789 101112; do train_one "ref/SOT-NoCut-$seed"    SOT-NoCut    "$seed"; done
+for seed in 42 123 456 789 101112; do train_one "ref/SOT-2048-SS-$seed"  SOT-2048-SS  "$seed"; done
+
+# --- column B: anneal-1500 for the remaining cutoff families ---
+evalonly best/SOT-512-42 runs/tricks/sot512-anneal-42/checkpoints/best-lsd
+for seed in 123 456 789 101112; do
+  train_one "best/SOT-512-$seed" SOT-512 "$seed" "${ANNEAL1500[@]}"
+done
+evalonly best/SOT-2048-SS-42 runs/tricks/sot2048ss-anneal-42/checkpoints/best-lsd
+for seed in 123 456 789 101112; do
+  train_one "best/SOT-2048-SS-$seed" SOT-2048-SS "$seed" "${ANNEAL1500[@]}"
+done
+
+# --- column A: MSS baselines ---
+for seed in 42 123 456 789 101112; do train_one "ref/MSS-Lin-$seed"    MSS-Lin    "$seed"; done
+for seed in 42 123 456 789 101112; do train_one "ref/MSS-LogLin-$seed" MSS-LogLin "$seed"; done
+
+echo "=== paper protocol queue done $(date +%H:%M:%S) ==="
