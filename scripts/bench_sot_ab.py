@@ -1,0 +1,127 @@
+"""A/B bench: same-grid W2 paths at paper shapes on the current device.
+
+Variants (dispatch in sot_tpu/ops/pallas/sot.py:wasserstein_same_grid):
+  plane     — banded-plane Pallas kernel (round-1 default)
+  sortmerge — XLA lax.sort O(n log^2 n) prototype (SOT_TPU_W2_SORTMERGE=1)
+  merge     — Pallas bitonic-merge O(n log n) kernel (SOT_TPU_W2_MERGE=1)
+
+Shapes mirror the SOT-2048 training loss: rows = batch 64 x 16 frames =
+1024, bins = 1025 (n_fft 2048). u = spectra of a DIFFERENT random dataset
+(mimics untrained x_hat: loose CDF bands, the plane kernel's worst case),
+v = training-target spectra.
+
+Measurement notes (.claude/skills/verify/SKILL.md): the remote tunnel elides
+re-execution of identical-arg calls, so each timed call scans over K
+distinct input slices inside ONE dispatch and we report ms per slice.
+
+Usage: python scripts/bench_sot_ab.py [--iters 8] [--k 16]
+Writes results/round2/sot_ab.json and prints it.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+
+def build_data(k: int):
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sot_tpu import data as data_lib
+    from sot_tpu.ops.stft import stft_magnitude
+
+    def spectra(seed):
+        signals, _, _ = data_lib.generate_sinusoid_dataset(
+            seed=seed, size=64, n_samples=4096, render_batch=64)
+        x = jnp.asarray(data_lib.peak_normalize(signals))
+        s = stft_magnitude(x, size=2048, overlap=1 - 256 / 2048,
+                           window="flattop")
+        return s.reshape(-1, s.shape[-1])  # [1024, 1025]
+
+    v = spectra(0)
+    us = jnp.stack([spectra(100 + i) for i in range(k)])
+    grid = jnp.linspace(0.0, 1.0, v.shape[-1])
+    return grid, us, v
+
+
+def make_fns(grid, v):
+    import jax
+    import jax.numpy as jnp
+
+    from sot_tpu.ops.pallas.sot import wasserstein_same_grid
+
+    # training convention (losses.py Wasserstein1D.__call__): first arg is
+    # the CONSTANT target spectrum, second the prediction carrying gradients
+    def loss_rows(u):
+        return wasserstein_same_grid(grid, v, u, p=2.0,
+                                     limit_quantile_range=True,
+                                     target_constant=True)
+
+    @jax.jit
+    def fwd_scan(us):
+        def body(c, u):
+            return c + jnp.sum(loss_rows(u)), None
+        out, _ = jax.lax.scan(body, 0.0, us)
+        return out
+
+    @jax.jit
+    def grad_scan(us):
+        g = jax.grad(lambda u: jnp.sum(loss_rows(u)))
+
+        def body(c, u):
+            return c + jnp.sum(jnp.abs(g(u))), None
+        out, _ = jax.lax.scan(body, 0.0, us)
+        return out
+
+    return fwd_scan, grad_scan
+
+
+def time_call(fn, us, iters: int):
+    import jax
+
+    jax.block_until_ready(fn(us))  # compile
+    t0 = time.perf_counter()
+    vals = [fn(us) for _ in range(iters)]
+    jax.block_until_ready(vals)
+    return (time.perf_counter() - t0) / (iters * us.shape[0]) * 1e3
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--k", type=int, default=16)
+    ap.add_argument("--variants", default="plane,sortmerge,merge")
+    args = ap.parse_args()
+
+    import jax
+
+    grid, us, v = build_data(args.k)
+    results = {"device": str(jax.devices()[0]),
+               "rows": int(v.shape[0]), "bins": int(v.shape[1]),
+               "k": args.k, "iters": args.iters}
+    for variant in args.variants.split(","):
+        os.environ.pop("SOT_TPU_W2_SORTMERGE", None)
+        os.environ.pop("SOT_TPU_W2_MERGE", None)
+        if variant == "sortmerge":
+            os.environ["SOT_TPU_W2_SORTMERGE"] = "1"
+        elif variant == "merge":
+            os.environ["SOT_TPU_W2_MERGE"] = "1"
+        fwd, grad = make_fns(grid, v)
+        fwd_ms = time_call(fwd, us, args.iters)
+        grad_ms = time_call(grad, us, args.iters)
+        results[variant] = {"fwd_ms": round(fwd_ms, 3),
+                            "grad_ms": round(grad_ms, 3)}
+        print(f"{variant:10s} fwd {fwd_ms:7.3f} ms  grad {grad_ms:7.3f} ms",
+              flush=True)
+
+    os.makedirs("results/round2", exist_ok=True)
+    with open("results/round2/sot_ab.json", "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,346 @@
+"""O(n log n) fused coupling kernel for the same-grid W2 loss (Pallas).
+
+For p = 2 the same-grid Wasserstein (reference losses.py:223-313 semantics,
+see ops/pallas/sot.py for the derivation) splits into cheap marginal terms
+plus one expensive coupling sum
+
+    S = sum_{k,l} x_k x_l min(a_k, b_l)
+
+with x the static grid deltas and a = cap - alpha[:, :-1], b = cap -
+beta[:, :-1] per-row NONINCREASING sequences (complements of the clipped
+CDFs).  ``_sot_w2_sortmerge`` (ops/pallas/sot.py) evaluates S with one full
+``lax.sort`` of the 2n merged values — O(n log^2 n) compare-exchanges on TPU
+plus gather-based permutation VJPs.  This module exploits that a and b are
+each ALREADY sorted, so only a bitonic MERGE is needed:
+
+  fwd   [a desc | sentinels | sentinels | b asc] is a bitonic "valley";
+        log2(2n) compare-exchange stages (vs ~log^2 for a sort) yield the
+        merged descending sequence t with signed weight payloads sw
+        (+x for a-elements, -x for b).  In-VMEM Hillis-Steele prefix sums
+        give X = cumsum(relu(sw)), Y = cumsum(relu(-sw)) and
+
+            S = sum_i X_i Y_i (relu(t_i) - relu(t_{i+1}))
+
+        (the integral form of sum x_k x_l min(a_k, b_l):  X(t) Y(t) is the
+        product of the two weight-survival functions, piecewise constant
+        between merged values).
+
+  bwd   dS/da_k = x_k * Y(a_k),  dS/db_l = x_l * X(b_l)  (a.e.; at exact
+        a == b ties the realized subgradient follows the merge network's
+        routing — the usual measure-zero kink caveat, tests mask kinks).
+        Y(a_k) is the merged prefix Y at a_k's merged position; routing it
+        back to ORIGINAL a-order is a stream compaction, done WITHOUT
+        gathers: a-elements preserve relative order in the merge, and their
+        leftward displacement (i - rank) is nondecreasing along the merged
+        axis, so an LSB-first pass over the displacement bits (shift the
+        elements whose remaining displacement has bit j by 2^j, for j = 0..
+        log2(2n)-1) moves every element to its slot with NO collisions:
+        for valid monotone inputs, positions p - (d mod 2^{j+1}) stay
+        strictly increasing, since d_j - d_i <= p_j - p_i - 1 and
+        (d + delta) mod m - d mod m ∈ {delta, delta - m}.
+
+Everything is sublane-axis rolls + selects on [2n, 128-row] VMEM blocks:
+no gathers, no scatters, no HBM round-trips inside a block.  The row
+blocking (128 rows per program, rows on lanes) matches ops/pallas/sot.py.
+
+Enable in training with SOT_TPU_W2_MERGE=1 (dispatch in
+ops/pallas/sot.wasserstein_same_grid); A/B against the banded-plane kernel
+before making it the default.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .sot import _interpret
+
+Array = jax.Array
+
+_ROWS = 128  # rows per program, riding the 128 lanes
+
+
+def _round_up(v: int, m: int) -> int:
+    return ((v + m - 1) // m) * m
+
+
+def _next_pow2(v: int) -> int:
+    p = 1
+    while p < v:
+        p *= 2
+    return p
+
+
+def _log2(v: int) -> int:
+    return v.bit_length() - 1
+
+
+def _iota(shape) -> Array:
+    return jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+
+
+def _shift_up(v: Array, d: int) -> Array:
+    """out[i] = v[i + d]  (circular; callers mask the wrapped tail)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pltpu.roll(v, shift=v.shape[0] - d, axis=0)
+
+
+def _shift_down(v: Array, d: int) -> Array:
+    """out[i] = v[i - d]  (circular; callers mask the wrapped head)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pltpu.roll(v, shift=d, axis=0)
+
+
+def _bitonic_merge(arrs, L: int):
+    """Sort a bitonic [L, R] key array (arrs[0]) descending, carrying
+    payloads.  log2(L) compare-exchange stages; pair (i, i^d) keeps the max
+    at the low index.  Ties keep the low-index element in place (both sides
+    of the pair use the same predicate, so key+payloads travel together)."""
+    t = arrs[0]
+    idx = _iota(t.shape)
+    for s in range(_log2(L), 0, -1):
+        d = 1 << (s - 1)
+        first = (idx & d) == 0
+        partner_t = jnp.where(first, _shift_up(t, d), _shift_down(t, d))
+        take_own = jnp.where(first, t >= partner_t, partner_t >= t)
+        new = [jnp.where(take_own, t, partner_t)]
+        for p in arrs[1:]:
+            partner_p = jnp.where(first, _shift_up(p, d), _shift_down(p, d))
+            new.append(jnp.where(take_own, p, partner_p))
+        t = new[0]
+        arrs = new
+    return arrs
+
+
+def _scan_incl(v: Array, L: int) -> Array:
+    """Inclusive prefix sum along the sublane axis (Hillis-Steele)."""
+    idx = _iota(v.shape)
+    d = 1
+    while d < L:
+        v = v + jnp.where(idx >= d, _shift_down(v, d), 0.0)
+        d *= 2
+    return v
+
+
+def _compact(val: Array, disp: Array, L: int) -> Array:
+    """Route val[i] to slot i - disp[i] (disp < 0 marks junk slots).
+
+    Valid inputs: flagged slots have strictly increasing target positions
+    and nondecreasing disp.  LSB-first over the displacement bits; see the
+    module docstring for the no-collision argument."""
+    idx = _iota(val.shape)
+    for j in range(_log2(L)):
+        d = 1 << j
+        src_val = _shift_up(val, d)
+        src_disp = _shift_up(disp, d)
+        recv_ok = idx < (L - d)
+        take = recv_ok & (src_disp >= 0) & ((src_disp & d) != 0)
+        keep = (disp >= 0) & ((disp & d) == 0)
+        val = jnp.where(take, src_val, val)
+        disp = jnp.where(take, src_disp - d, jnp.where(keep, disp, -1))
+    return val
+
+
+def _build_valley(a, b_rev, xa, xb_rev, m8: int, M2: int, L: int, r: int):
+    """Assemble the bitonic valley [a desc | -1 pad | -1 pad | b asc] and
+    its signed-weight payload in [L, R] layout."""
+    pad = jnp.full((M2 - m8, r), -1.0, jnp.float32)
+    t = jnp.concatenate([a, pad, pad, b_rev], axis=0)
+    zw = jnp.zeros((M2 - m8, r), jnp.float32)
+    sw = jnp.concatenate(
+        [jnp.broadcast_to(xa, (m8, r)), zw, zw,
+         jnp.broadcast_to(-xb_rev, (m8, r))], axis=0)
+    return t, sw
+
+
+def _fwd_kernel(a_ref, b_ref, xa_ref, xb_ref, out_ref, *, m8: int, M2: int):
+    L = 2 * M2
+    r = a_ref.shape[1]
+    t, sw = _build_valley(a_ref[:], b_ref[:], xa_ref[:], xb_ref[:],
+                          m8, M2, L, r)
+    t, sw = _bitonic_merge([t, sw], L)
+    X = _scan_incl(jnp.maximum(sw, 0.0), L)
+    Y = _scan_incl(jnp.maximum(-sw, 0.0), L)
+    rt = jnp.maximum(t, 0.0)
+    idx = _iota(rt.shape)
+    width = rt - jnp.where(idx < L - 1, _shift_up(rt, 1), 0.0)
+    out_ref[0] = jnp.sum(X * Y * width, axis=0, keepdims=True)
+
+
+def _grad_kernel(a_ref, b_ref, xa_ref, xb_ref, *out_refs, m8: int, M2: int,
+                 alpha_grads: bool):
+    """dS/da (pre-x-scaling: Y at each a element) and dS/db (X at each b),
+    in ORIGINAL order, via merge + two stream compactions."""
+    L = 2 * M2
+    r = a_ref.shape[1]
+    if alpha_grads:
+        da_ref, db_ref = out_refs
+    else:
+        (db_ref,) = out_refs
+    t, sw = _build_valley(a_ref[:], b_ref[:], xa_ref[:], xb_ref[:],
+                          m8, M2, L, r)
+    fpad = jnp.zeros((M2 - m8, r), jnp.float32)
+    f = jnp.concatenate([jnp.ones((m8, r), jnp.float32), fpad, fpad,
+                         jnp.zeros((m8, r), jnp.float32)], axis=0)
+    t, sw, f = _bitonic_merge([t, sw, f], L)
+    idx = _iota(t.shape)
+    if alpha_grads:
+        Y = _scan_incl(jnp.maximum(-sw, 0.0), L)
+        ca = _scan_incl(f, L)
+        disp_a = jnp.where(f > 0.5, idx - ca.astype(jnp.int32) + 1, -1)
+        da = _compact(Y, disp_a, L)
+        da_ref[:] = da[:m8]
+    X = _scan_incl(jnp.maximum(sw, 0.0), L)
+    cb = _scan_incl(1.0 - f, L)
+    disp_b = jnp.where(f < 0.5, idx - cb.astype(jnp.int32) + 1, -1)
+    db = _compact(X, disp_b, L)
+    db_ref[:] = db[:m8]
+
+
+def _pad_desc(v: Array, m8: int) -> Array:
+    """Pad rows of a nonincreasing [rows, m] array to m8 with -1 sentinels
+    (below every real value, which are >= 0)."""
+    rows, m = v.shape
+    if m8 == m:
+        return v
+    return jnp.concatenate(
+        [v, jnp.full((rows, m8 - m), -1.0, v.dtype)], axis=-1)
+
+
+def _prep_merge(a: Array, b: Array, x: Array):
+    rows, m = a.shape
+    m8 = _round_up(m, 8)
+    M2 = _next_pow2(m8)
+    rows_p = _round_up(rows, _ROWS)
+    n_prog = rows_p // _ROWS
+    a_p = _pad_desc(a, m8)
+    b_rev = _pad_desc(b, m8)[:, ::-1]
+    # padded rows: a = b = -1 everywhere is a valid bitonic valley with zero
+    # weights -> S contribution 0, sliced off after the kernel
+    a_p = jnp.pad(a_p, ((0, rows_p - rows), (0, 0)), constant_values=-1.0)
+    b_rev = jnp.pad(b_rev, ((0, rows_p - rows), (0, 0)), constant_values=-1.0)
+    x_p = jnp.pad(x.astype(jnp.float32), (0, m8 - m))
+    return a_p.T, b_rev.T, x_p[:, None], x_p[::-1][:, None], m8, M2, n_prog
+
+
+def _coupling_fwd_pallas(a: Array, b: Array, x: Array) -> Array:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    rows, m = a.shape
+    a_t, b_t, xa, xb, m8, M2, n_prog = _prep_merge(a, b, x)
+    col_spec = pl.BlockSpec((m8, _ROWS), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+    x_spec = pl.BlockSpec((m8, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, m8=m8, M2=M2),
+        grid=(n_prog,),
+        in_specs=[col_spec, col_spec, x_spec, x_spec],
+        out_specs=pl.BlockSpec((1, 1, _ROWS), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_prog, 1, _ROWS), jnp.float32),
+        interpret=_interpret(),
+    )(a_t, b_t, xa, xb)
+    return out.reshape(n_prog * _ROWS)[:rows]
+
+
+def _coupling_grads_pallas(a: Array, b: Array, x: Array,
+                           alpha_grads: bool) -> Tuple[Array, Array]:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    rows, m = a.shape
+    a_t, b_t, xa, xb, m8, M2, n_prog = _prep_merge(a, b, x)
+    col_spec = pl.BlockSpec((m8, _ROWS), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+    x_spec = pl.BlockSpec((m8, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    n_outs = 2 if alpha_grads else 1
+    outs = pl.pallas_call(
+        functools.partial(_grad_kernel, m8=m8, M2=M2,
+                          alpha_grads=alpha_grads),
+        grid=(n_prog,),
+        in_specs=[col_spec, col_spec, x_spec, x_spec],
+        out_specs=[col_spec] * n_outs,
+        out_shape=[jax.ShapeDtypeStruct((m8, n_prog * _ROWS), jnp.float32)
+                   for _ in range(n_outs)],
+        interpret=_interpret(),
+    )(a_t, b_t, xa, xb)
+    if alpha_grads:
+        da_t, db_t = outs
+        da = da_t.T[:rows, :m] * x[None, :]
+    else:
+        (db_t,) = outs
+        da = jnp.zeros_like(a)
+    db = db_t.T[:rows, :m] * x[None, :]
+    return da, db
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _coupling(alpha_body: Array, beta_body: Array, cap: Array, x: Array,
+              alpha_grads: bool = True):
+    """S_r = sum_{k,l} x_k x_l min(a[r,k], b[r,l]) with
+    a = cap - alpha_body, b = cap - beta_body (nonincreasing >= 0 rows) and
+    x >= 0 static grid deltas.
+
+    Differentiable in alpha_body, beta_body AND cap:  dS/dcap = (sum x)^2
+    exactly (every min(cap - alpha_k, cap - beta_l) shifts 1:1 with cap),
+    so the quantile-cutoff lane's cotangent costs nothing.  x is treated as
+    a static grid quantity (zero cotangent, matching ops/pallas/sot.py's
+    convention for grid positions).  ``alpha_grads=False`` (the training
+    target_constant case) zeroes the alpha_body cotangent and skips its
+    compaction stream in the kernel — equivalent to stop_gradient on
+    alpha_body, NOT to the banded-plane kernel's target-const variant
+    (which also drops cap's alpha-lane attribution; the two conventions
+    differ only in saturated/tied bins, where any subgradient is valid)."""
+    a = cap[:, None] - alpha_body
+    b = cap[:, None] - beta_body
+    return _coupling_fwd_pallas(a, b, x)
+
+
+def _coupling_fwd(alpha_body, beta_body, cap, x, alpha_grads):
+    a = cap[:, None] - alpha_body
+    b = cap[:, None] - beta_body
+    return _coupling_fwd_pallas(a, b, x), (a, b, x)
+
+
+def _coupling_bwd(alpha_grads, res, wbar):
+    a, b, x = res
+    da, db = _coupling_grads_pallas(a, b, x, alpha_grads)
+    xsum = jnp.sum(x)
+    dcap = wbar * (xsum * xsum)
+    return (-wbar[:, None] * da, -wbar[:, None] * db, dcap,
+            jnp.zeros_like(x))
+
+
+_coupling.defvjp(_coupling_fwd, _coupling_bwd)
+
+
+def sot_w2_merge(alpha: Array, beta: Array, g: Array,
+                 target_constant: bool = False) -> Array:
+    """W_2^2 rows on a shared grid via the Pallas merge coupling.
+
+    Same quantity and flag semantics as ``_sot_w2_sortmerge``
+    (ops/pallas/sot.py) and the banded-plane kernel: alpha/beta are the
+    clipped augmented CDFs [rows, n_aug], g the augmented grid.  The cheap
+    marginal/linear terms stay in XLA autodiff; only the coupling sum runs
+    in the kernel."""
+    rows, n_aug = alpha.shape
+    gamma = jnp.pad(alpha, ((0, 0), (1, 0)))[:, :-1]
+    delta = jnp.pad(beta, ((0, 0), (1, 0)))[:, :-1]
+    g2 = g * g
+    marg = jnp.einsum("rn,n->r", alpha - gamma, g2) + jnp.einsum(
+        "rn,n->r", beta - delta, g2)
+
+    cap = alpha[:, -1]  # == beta[:, -1] (both end clipped at cap)
+    x = (g[1:] - g[:-1]).astype(jnp.float32)
+    a = cap[:, None] - alpha[:, :-1]
+    b = cap[:, None] - beta[:, :-1]
+    S = _coupling(alpha[:, :-1], beta[:, :-1], cap, x, not target_constant)
+    cross = (g[0] * g[0]) * cap + g[0] * (
+        jnp.einsum("rn,n->r", a, x) + jnp.einsum("rn,n->r", b, x)) + S
+    return marg - 2.0 * cross

@@ -515,6 +515,10 @@ def _use_sortmerge() -> bool:
     return bool(os.environ.get("SOT_TPU_W2_SORTMERGE"))
 
 
+def _use_merge_kernel() -> bool:
+    return bool(os.environ.get("SOT_TPU_W2_MERGE"))
+
+
 # ---------------------------------------------------------------------------
 # Same-grid Wasserstein entry point
 # ---------------------------------------------------------------------------
@@ -568,6 +572,13 @@ def wasserstein_same_grid(
     if p == 1.0:
         dg = gaug[1:] - gaug[:-1]
         return jnp.sum(jnp.abs(alpha[:, :-1] - beta[:, :-1]) * dg[None, :], -1)
+
+    if p == 2.0 and _use_merge_kernel():
+        # O(n log n) Pallas bitonic-merge coupling (ops/pallas/merge.py)
+        from sot_tpu.ops.pallas.merge import sot_w2_merge
+
+        return sot_w2_merge(alpha, beta, gaug,
+                            target_constant=target_constant)
 
     if p == 2.0 and _use_sortmerge():
         return _sot_w2_sortmerge(alpha, beta, gaug)

@@ -1,0 +1,122 @@
+"""Parity tests for the O(n log n) Pallas merge coupling (ops/pallas/merge).
+
+The merge kernel must reproduce the banded-plane/XLA overlap formulation
+(ops/pallas/sot.py) — the reference-parity anchor (reference
+losses.py:223-313) — in values everywhere and in gradients away from kinks
+(exact CDF ties at the cap, zero bins), where subgradient conventions
+legitimately differ between reduction orders.  Runs in Pallas interpreter
+mode on CPU.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sot_tpu.ops.pallas.sot import _sot_bilinear_xla, wasserstein_same_grid
+from sot_tpu.ops.pallas.merge import sot_w2_merge
+from sot_tpu.ops.wasserstein import wasserstein_1d
+
+from test_sot_pallas import _alpha_beta, _make_case
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode(monkeypatch):
+    monkeypatch.setenv("SOT_TPU_PALLAS_INTERPRET", "1")
+
+
+# rows > 128 exercises multi-program row blocking + padding; n = 64 makes
+# m8 == M2 (no sentinel region); n = 97 pads both.
+@pytest.mark.parametrize("rows,n", [(12, 97), (130, 64), (7, 130)])
+@pytest.mark.parametrize("lqr", [False, True])
+@pytest.mark.parametrize("v_mass", [1.0, 1.9])
+def test_merge_kernel_matches_xla_forward(rows, n, lqr, v_mass):
+    grid, u, v = _make_case(21 + n, rows=rows, n=n, v_mass=v_mass)
+    alpha, beta, gaug = _alpha_beta(grid, u, v, lqr)
+    ref = _sot_bilinear_xla(alpha, beta, gaug, 2.0)
+    out = sot_w2_merge(alpha, beta, gaug)
+    # unlike the plane form, the merge form subtracts large marginal and
+    # coupling terms, so there is an absolute fp32 cancellation floor on
+    # top of the relative tolerance
+    scale = float(jnp.max(jnp.abs(ref))) + 1e-9
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=3e-5 * scale + 3e-7)
+
+
+@pytest.mark.parametrize("lqr", [False, True])
+@pytest.mark.parametrize("v_mass", [1.0, 1.9])
+def test_merge_kernel_gradients_match_xla(lqr, v_mass):
+    from functools import partial
+
+    grid, u, v = _make_case(23, rows=10, n=89, v_mass=v_mass, zeros=False)
+
+    def f(fn, uu, vv):
+        a, b, gaug = _alpha_beta(grid, uu, vv, lqr)
+        return jnp.sum(fn(a, b, gaug))
+
+    gu_m, gv_m = jax.grad(partial(f, sot_w2_merge), argnums=(0, 1))(u, v)
+    gu_p, gv_p = jax.grad(
+        partial(f, lambda a, b, g: _sot_bilinear_xla(a, b, g, 2.0)),
+        argnums=(0, 1))(u, v)
+
+    U = np.cumsum(np.asarray(u), -1)
+    V = np.cumsum(np.asarray(v), -1)
+    if lqr:
+        cap = np.maximum(np.max(np.where(U <= 1.0, U, 0.0), -1),
+                         np.max(np.where(V <= 1.0, V, 0.0), -1))[:, None]
+    else:
+        cap = np.maximum(U[:, -1], V[:, -1])[:, None]
+    ok = (U < cap - 1e-5) & (V < cap - 1e-5)
+    scale = max(float(jnp.max(jnp.abs(gu_p))), float(jnp.max(jnp.abs(gv_p))))
+    np.testing.assert_allclose(np.asarray(gu_m)[ok], np.asarray(gu_p)[ok],
+                               atol=1e-3 * scale)
+    np.testing.assert_allclose(np.asarray(gv_m)[ok], np.asarray(gv_p)[ok],
+                               atol=1e-3 * scale)
+
+
+def test_merge_kernel_target_constant_matches_stopgrad_spec():
+    """target_constant's exact spec: identical to the full VJP with
+    stop_gradient applied to the alpha BODY lanes (cap lane stays live —
+    its (sum x)^2 coupling cotangent is target-independent)."""
+    grid, u, v = _make_case(29, rows=8, n=77, v_mass=1.3)
+
+    def gv(tc):
+        def loss(vv):
+            alpha, beta, gaug = _alpha_beta(grid, u, vv, True)
+            if not tc:
+                alpha = jnp.concatenate(
+                    [jax.lax.stop_gradient(alpha[:, :-1]), alpha[:, -1:]],
+                    axis=-1)
+            return jnp.sum(sot_w2_merge(alpha, beta, gaug,
+                                        target_constant=tc))
+        return jax.grad(loss)(v)
+
+    np.testing.assert_allclose(np.asarray(gv(True)), np.asarray(gv(False)),
+                               rtol=1e-6, atol=1e-8)
+
+
+def test_merge_kernel_exact_tie_rows_finite():
+    """Identical spectra (fully saturated CDFs, maximal tie count) must give
+    W = 0 and finite gradients through the merge + compaction."""
+    grid = jnp.linspace(0.0, 1.0, 64)
+    u = jnp.ones((4, 64)) / 64.0
+    a, b, gaug = _alpha_beta(grid, u, u, True)
+    out = sot_w2_merge(a, b, gaug)
+    np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-6)
+    g = jax.grad(lambda vv: jnp.sum(
+        sot_w2_merge(*_alpha_beta(grid, u, vv, True))))(u)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_merge_env_dispatch_matches_general(monkeypatch):
+    """SOT_TPU_W2_MERGE=1 routes wasserstein_same_grid(p=2) through the
+    Pallas merge and still matches the general sort-based implementation."""
+    monkeypatch.setenv("SOT_TPU_W2_MERGE", "1")
+    grid, u, v = _make_case(31, v_mass=1.9)
+    rows, n = u.shape
+    gridr = jnp.tile(grid, (rows, 1))
+    ref = wasserstein_1d(gridr, gridr, u, v, p=2, require_sort=False,
+                         limit_quantile_range=True)
+    new = wasserstein_same_grid(grid, u, v, p=2.0, limit_quantile_range=True)
+    np.testing.assert_allclose(np.asarray(new), np.asarray(ref),
+                               rtol=2e-4, atol=1e-6)
