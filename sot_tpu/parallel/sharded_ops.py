@@ -15,6 +15,15 @@ sections 2.3/5 "long-context"):
   rows all_gather their frequency shards over ICI (1025 floats/row — cheap)
   and each device then solves its row shard independently.
 
+* ``oscillator_bank_sample_sharded`` — the synth's *sample* axis is sharded
+  across the mesh; phase accumulation (a cumsum over time) crosses shard
+  boundaries, so each device prefix-sums its local chunk and the per-chunk
+  phase totals are exchanged in ONE tiny all_gather (n_sinusoids floats per
+  device), exclusive-summed mod 2pi into a per-device carry — the
+  cross-chip generalisation of the reference's ``angular_cumsum`` chunk
+  stitching (ddsp.py:266-331), which bounds fp error independent of signal
+  length AND device count.
+
 Both are differentiable end-to-end (collectives have well-defined
 transposes: ppermute <-> inverse permute, all_gather <-> psum_scatter).
 """
@@ -30,6 +39,7 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
+from sot_tpu.ops.oscillator import remove_above_nyquist
 from sot_tpu.ops.stft import frame_signal, _complex_abs
 from sot_tpu.ops.windows import get_window, hann_window
 from sot_tpu.ops.wasserstein import wasserstein_1d
@@ -136,6 +146,65 @@ def wasserstein_same_grid_row_sharded(
         check_vma=False,
     )
     return fn(grid, u_weights, v_weights)
+
+
+def oscillator_bank_sample_sharded(
+    frequency_envelopes: Array,
+    amplitude_envelopes: Array,
+    mesh: Mesh,
+    sample_rate: int = 16000,
+    axis: str = "freq",
+    batch_axis: Optional[str] = None,
+) -> Array:
+    """Sample-sharded sinusoidal oscillator bank (cross-chip phase carry).
+
+    Inputs are [batch, n_samples, n_sinusoids] with the SAMPLE axis sharded
+    over ``mesh[axis]`` (and optionally batch over ``batch_axis``).  Matches
+    the single-device ``oscillator_bank(..., use_angular_cumsum=True)``
+    semantics: phase is accumulated per chunk and stitched mod 2pi — here a
+    chunk is a device shard, and the stitch is an ICI carry exchange instead
+    of a reshape.  Reference anchor: ddsp.py:266-331 (angular_cumsum's
+    chunk/carry scheme), ddsp.py:208-263 (bank semantics).
+
+    The carry exchange is one all_gather of [n_dev, batch, 1, n_sin] phase
+    totals (tiny) followed by a masked exclusive sum — O(n_dev) bytes per
+    sinusoid on the wire, fully differentiable (all_gather transposes to
+    psum_scatter; the mod shifts gradients by nothing since d(x mod c)/dx = 1
+    a.e.).
+
+    Returns [batch, n_samples] audio, sharded [batch_axis, axis].
+    """
+    from sot_tpu.ops.oscillator import angular_cumsum
+
+    n = mesh.shape[axis]
+    t = frequency_envelopes.shape[1]
+    if t % n != 0:
+        raise ValueError(f"n_samples={t} must be divisible by n_shards={n}")
+
+    def local_bank(f_local: Array, a_local: Array) -> Array:
+        a_local = remove_above_nyquist(f_local, a_local, sample_rate)
+        omega = jnp.asarray(f_local, jnp.float32) * (
+            2.0 * np.pi / float(sample_rate))
+        # local accumulation is itself mod-stitched (angular_cumsum), so the
+        # exchanged totals stay in [0, 2pi) — raw fp32 chunk totals reach
+        # thousands of radians where float spacing alone is ~2e-4 rad and
+        # the carry error compounds ~7x (measured vs a float64 oracle)
+        local_phase = angular_cumsum(omega)
+        totals = local_phase[:, -1:, :]
+        all_totals = jax.lax.all_gather(totals, axis)  # [n, batch, 1, n_sin]
+        idx = jax.lax.axis_index(axis)
+        mask = (jnp.arange(n) < idx).astype(jnp.float32)
+        carry = jnp.einsum("d,dbts->bts", mask, all_totals) % (2.0 * np.pi)
+        phase = (local_phase + carry) % (2.0 * np.pi)
+        return jnp.sum(a_local * jnp.sin(phase), axis=-1)
+
+    fn = shard_map(
+        local_bank, mesh=mesh,
+        in_specs=(P(batch_axis, axis, None), P(batch_axis, axis, None)),
+        out_specs=P(batch_axis, axis),
+        check_vma=False,
+    )
+    return fn(frequency_envelopes, amplitude_envelopes)
 
 
 def wasserstein_1d_freq_sharded(

@@ -7,9 +7,11 @@ import pytest
 
 from sot_tpu.parallel.mesh import make_mesh
 from sot_tpu.parallel.sharded_ops import (
+    oscillator_bank_sample_sharded,
     stft_magnitude_frame_sharded,
     wasserstein_1d_freq_sharded,
 )
+from sot_tpu.ops.oscillator import oscillator_bank
 from sot_tpu.ops.stft import stft_magnitude
 from sot_tpu.ops.wasserstein import wasserstein_1d_same_grid
 
@@ -55,6 +57,70 @@ def test_frame_sharded_stft_flattop_and_grad():
     g_single = jax.grad(loss_single)(audio)
     np.testing.assert_allclose(np.asarray(g_sharded), np.asarray(g_single),
                                atol=1e-3)
+
+
+@pytest.mark.parametrize("n_shards,batch_axis", [(4, None), (8, None),
+                                                 (4, "data")])
+def test_sample_sharded_oscillator_matches_single_device(n_shards, batch_axis):
+    """Cross-chip phase-carry == single-device angular_cumsum bank.
+
+    Phases are stitched mod 2pi at different boundaries (device shards vs
+    the serial path's fixed chunks), so parity is up to fp32 accumulation
+    noise on the phase, not bit-exact: measured vs a float64 oracle, both
+    paths sit at ~1.7e-3 max audio error on this case and ~7e-4 from each
+    other."""
+    if batch_axis is None:
+        mesh = make_mesh(n_shards, freq=n_shards)
+    else:
+        mesh = make_mesh(8, freq=n_shards)
+    rng = np.random.default_rng(7)
+    batch, t, n_sin = 2, 2048, 8
+    f0 = rng.uniform(100.0, 900.0, (batch, 1, 1)).astype(np.float32)
+    ratios = np.arange(1, n_sin + 1, dtype=np.float32)
+    # top partials of the higher f0s cross Nyquist/2 at sr=8000 -> exercises
+    # the in-shard Nyquist masking
+    freqs = jnp.asarray(np.broadcast_to(f0 * ratios, (batch, t, n_sin)))
+    amps = jnp.asarray(rng.uniform(0.1, 1.0, (batch, t, n_sin)).astype(np.float32))
+
+    single = oscillator_bank(freqs, amps, sample_rate=8000,
+                             use_angular_cumsum=True)
+    sharded = oscillator_bank_sample_sharded(freqs, amps, mesh,
+                                             sample_rate=8000,
+                                             batch_axis=batch_axis)
+    assert sharded.shape == single.shape
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(single),
+                               atol=1.5e-3)
+
+
+def test_sample_sharded_oscillator_grad():
+    mesh = make_mesh(4, freq=4)
+    rng = np.random.default_rng(8)
+    batch, t, n_sin = 2, 1024, 4
+    freqs = jnp.asarray(
+        rng.uniform(100.0, 2000.0, (batch, 1, n_sin)).astype(np.float32)
+        * np.ones((1, t, 1), np.float32))
+    amps = jnp.asarray(rng.uniform(0.1, 1.0, (batch, t, n_sin)).astype(np.float32))
+
+    def loss_sharded(f, a):
+        return jnp.sum(oscillator_bank_sample_sharded(f, a, mesh) ** 2)
+
+    def loss_single(f, a):
+        return jnp.sum(oscillator_bank(f, a, use_angular_cumsum=True) ** 2)
+
+    np.testing.assert_allclose(float(loss_sharded(freqs, amps)),
+                               float(loss_single(freqs, amps)), rtol=1e-4)
+    # freq grads flow through the carry exchange's transpose (psum_scatter
+    # of the suffix-summed phase cotangents); amp grads are local
+    gf_sh, ga_sh = jax.grad(loss_sharded, argnums=(0, 1))(freqs, amps)
+    gf_si, ga_si = jax.grad(loss_single, argnums=(0, 1))(freqs, amps)
+    # tolerances scaled to the ~1e-3 phase-rounding floor of fp32 mod-2pi
+    # stitching (both paths vs float64 are at this level; see forward test)
+    a_scale = float(jnp.max(jnp.abs(ga_si))) + 1e-9
+    np.testing.assert_allclose(np.asarray(ga_sh) / a_scale,
+                               np.asarray(ga_si) / a_scale, atol=5e-3)
+    f_scale = float(jnp.max(jnp.abs(gf_si))) + 1e-9
+    np.testing.assert_allclose(np.asarray(gf_sh) / f_scale,
+                               np.asarray(gf_si) / f_scale, atol=5e-3)
 
 
 def test_freq_sharded_wasserstein_matches_single_device():
