@@ -8,8 +8,12 @@ sharded step compiles and runs, and measures the virtual-device overhead —
 the protocol is identical either way.
 
     python bench_scaling.py            # uses all visible devices
-    JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
-        python bench_scaling.py
+    XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+        python bench_scaling.py --cpu  # virtual 8-device CPU mesh
+
+(--cpu is needed rather than JAX_PLATFORMS=cpu: this box's sitecustomize
+pins the tunnelled TPU platform and overrides the env var, so the platform
+must be forced via jax.config after import.)
 
 Prints ONE JSON line with per-configuration samples/s.
 """
@@ -32,8 +36,12 @@ def _measure(step, state, x, rng, iters: int = 20):
     return iters * x.shape[0] / (time.perf_counter() - t0)
 
 
-def main(tiny: bool | None = None) -> None:
+def main(tiny: bool | None = None, force_cpu: bool = False) -> None:
     import jax
+
+    if force_cpu and jax.config.jax_platforms != "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
     import jax.numpy as jnp
 
     from sot_tpu import data as data_lib
@@ -87,4 +95,4 @@ def main(tiny: bool | None = None) -> None:
 if __name__ == "__main__":
     import sys
 
-    main(tiny=("--tiny" in sys.argv) or None)
+    main(tiny=("--tiny" in sys.argv) or None, force_cpu="--cpu" in sys.argv)

@@ -66,6 +66,27 @@ evalonly() {
 
 ANNEAL1500=(--set 'temperature_schedule=[1.0,0.1,1500]')
 
+# --- one-time TPU kernel work (VERDICT tasks 2/6): merge-kernel A/B +
+# train-step profile, ~10 min total, before the multi-hour train queue ---
+if [ ! -f results/round2/sot_ab.json ]; then
+  stop_check
+  echo "=== sot kernel A/B $(date +%H:%M:%S) ==="
+  timeout 1800 python scripts/bench_sot_ab.py > results/round2/sot_ab.log 2>&1 \
+    || echo "A/B FAIL (see results/round2/sot_ab.log)"
+fi
+if [ ! -f results/round2/profile_step.txt ]; then
+  stop_check
+  echo "=== train-step profile $(date +%H:%M:%S) ==="
+  timeout 1800 python scripts/profile_step.py > results/round2/profile_step.txt 2> results/round2/profile_step.log \
+    || echo "PROFILE FAIL (see results/round2/profile_step.log)"
+fi
+if [ ! -f results/round2/scaling_tpu1.json ]; then
+  stop_check
+  echo "=== single-chip scaling protocol $(date +%H:%M:%S) ==="
+  timeout 1800 python bench_scaling.py 2>/dev/null | tail -1 > results/round2/scaling_tpu1.json \
+    || echo "SCALING FAIL"
+fi
+
 # --- column B headline completion (SOT-2048 anneal-1500, 5 seeds) ---
 train_one best/SOT-2048-101112 SOT-2048-Anneal 101112
 evalonly  best/SOT-2048-42     runs/tricks/anneal1500-42/checkpoints/best-lsd

@@ -1,0 +1,63 @@
+"""Committed per-op profile of the SOT-2048 train step (VERDICT round-1
+task 6: the profile that justifies what gets built next).
+
+Runs the bench.py train-step loop under jax.profiler, prints the per-op
+device-time table (ms/step) plus the step total. Optionally profiles with
+the merge kernel enabled (SOT_TPU_W2_MERGE=1 is read at trace time, so set
+it in the environment before running).
+
+Usage: python scripts/profile_step.py [--steps 20]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import tempfile
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=20)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from sot_tpu import data as data_lib
+    from sot_tpu.configs import get_experiment
+    from sot_tpu.training.profiling import print_trace_summary, trace
+    from sot_tpu.training.trainer import build_modules, init_state, make_train_step
+
+    cfg = get_experiment("SOT-2048")
+    mod = build_modules(cfg)
+    rng = jax.random.key(0)
+    state = init_state(mod, rng)
+    train_step = make_train_step(mod)
+
+    signals, _, _ = data_lib.generate_sinusoid_dataset(
+        seed=0, size=cfg.batch_size, n_samples=cfg.n_samples,
+        render_batch=cfg.batch_size)
+    x = jnp.asarray(data_lib.peak_normalize(signals))
+
+    for _ in range(3):  # compile + warm
+        state, logs = train_step(state, x, rng)
+    jax.block_until_ready(logs["loss/total"])
+
+    log_dir = tempfile.mkdtemp(prefix="sot_profile_")
+    t0 = time.perf_counter()
+    with trace(log_dir):
+        for _ in range(args.steps):
+            state, logs = train_step(state, x, rng)
+        jax.block_until_ready(logs["loss/total"])
+    wall = (time.perf_counter() - t0) / args.steps * 1e3
+
+    print(f"# device: {jax.devices()[0]}")
+    print(f"# merge kernel: {bool(os.environ.get('SOT_TPU_W2_MERGE'))}")
+    print(f"# wall ms/step: {wall:.3f}  ({args.steps} steps)")
+    print_trace_summary(log_dir, steps=args.steps, top=30)
+
+
+if __name__ == "__main__":
+    main()
