@@ -108,6 +108,23 @@ def test_merge_kernel_exact_tie_rows_finite():
     assert np.isfinite(np.asarray(g)).all()
 
 
+def test_merge_kernel_composes_with_row_sharding(monkeypatch):
+    """SOT_TPU_W2_MERGE inside the row-sharded shard_map solver (the
+    multi-chip training loss path) matches the unsharded merge solve."""
+    from sot_tpu.parallel.mesh import make_mesh
+    from sot_tpu.parallel.sharded_ops import wasserstein_same_grid_row_sharded
+
+    monkeypatch.setenv("SOT_TPU_W2_MERGE", "1")
+    mesh = make_mesh(8, freq=2)
+    grid, u, v = _make_case(37, rows=16, n=96, v_mass=1.4)
+    sharded = wasserstein_same_grid_row_sharded(
+        grid, u, v, mesh, p=2.0, limit_quantile_range=True)
+    single = wasserstein_same_grid(grid, u, v, p=2.0,
+                                   limit_quantile_range=True)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(single),
+                               rtol=1e-5, atol=1e-7)
+
+
 def test_merge_env_dispatch_matches_general(monkeypatch):
     """SOT_TPU_W2_MERGE=1 routes wasserstein_same_grid(p=2) through the
     Pallas merge and still matches the general sort-based implementation."""
