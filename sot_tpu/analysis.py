@@ -68,5 +68,10 @@ def pitch_error_report(pitch_hz: np.ndarray, true_f0: np.ndarray,
         "n_wrong_clips": int(wrong.sum()),
         "n_clips": int(len(true_f0)),
         "kinds": kinds,
+        # raw material for choosing correction candidates: the median error
+        # of every wrong clip, in cents (e.g. +1902 = 3x, -702 = down a
+        # fifth), sorted
+        "wrong_clip_median_cents": sorted(
+            round(float(c), 1) for c in med_cents[wrong]),
     }
     return report

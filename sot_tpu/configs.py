@@ -130,6 +130,17 @@ class ExperimentConfig:
     #   band-energy thresholds of the correction, relative to the clip's
     #   global spectral peak (sensitivity vs amplitude_min:
     #   results/round2/octcorr_sensitivity.json)
+    eval_comb_correction: bool = False
+    inference_comb_correction: bool = False
+    #   harmonic-comb generalisation of the octave correction
+    #   (metrics.comb_correct_pitch): scores rational candidate ratios
+    #   (octaves, fifths, fourths, x3, x4) of the predicted pitch by how
+    #   well their harmonic comb explains the input spectrum. Catches the
+    #   fifth-class clip errors the octave rule cannot (cli analyze on
+    #   SOT-512). Takes precedence over eval/inference_octave_correction
+    #   when both are set; same thresholds as the octave rule.
+    comb_correction_margin: float = 0.1
+    #   relative score margin a candidate must beat the identity by
 
     # evaluation metric gate (reference evaluation_metrics config block)
     evaluation_metrics: Tuple[str, ...] = (

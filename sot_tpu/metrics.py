@@ -177,6 +177,104 @@ def octave_correct_pitch(x: Array, pitch_hz: Array, sample_rate: float = 16000,
     return pitch_hz * factor[:, None, None]
 
 
+_COMB_RATIOS = (1.0, 2.0, 3.0, 4.0, 0.5, 1.0 / 3.0, 0.25,
+                2.0 / 3.0, 1.5, 0.75, 4.0 / 3.0)
+
+
+def comb_correct_pitch(x: Array, pitch_hz: Array, sample_rate: float = 16000,
+                       n_fft: int = 2048, rel_threshold: float = 0.1,
+                       down_threshold: float = 0.25,
+                       margin: float = 0.1,
+                       n_harmonics: int = 8,
+                       ratios: Sequence[float] = _COMB_RATIOS,
+                       min_frequency_hz: float = 38.0) -> Array:
+    """Unsupervised test-time harmonic-comb disambiguation (generalizes
+    ``octave_correct_pitch``; no reference counterpart).
+
+    Unsupervised pitch models fail CLIP-wise by locking onto a wrong
+    rational interpretation of the spectrum: octave errors (f/2, 2f) but
+    also fifths/fourths (3f/2, 4f/3, 2f/3 — `cli analyze` on SOT-512 found
+    51 fifth-class residual clips the octave rule cannot touch). The input
+    spectrum again disambiguates for free. For each candidate ratio r the
+    corrected pitch r*f0-hat implies a harmonic comb {k r f0-hat}; score it
+    by the summed input magnitude in +-2% bands at the comb positions
+    (normalized by the clip's spectral peak). Two hard physical constraints
+    prune the search:
+
+      * a candidate whose OWN fundamental band is empty is inadmissible
+        (true fundamentals carry energy in this synth family), which kills
+        every subharmonic of the truth (harmonic signals have no energy
+        strictly below or between their harmonics);
+      * the decision hinges on the IDENTITY's admissibility, exactly like
+        the octave rule: if the predicted fundamental band is EMPTY the
+        prediction is provably wrong — switch to the highest-scoring
+        admissible candidate (comb scores are NOT compared against the
+        invalid identity: a wrong half-pitch comb contains the true comb
+        and ties it in score). If the predicted fundamental is occupied,
+        the only remaining error class is a harmonic of the truth, so only
+        DOWN candidates (r < 1) are considered and must beat the identity
+        score by ``margin`` (relative) — for a correct prediction every
+        down candidate's fundamental falls strictly below or between true
+        harmonics and is inadmissible, so correct clips are never moved.
+
+    Down-shifting candidates (r < 1) use the stricter ``down_threshold``
+    for admissibility, mirroring the bidirectional octave rule's
+    asymmetric thresholds. With ``ratios`` restricted to (1, 2, 0.5) this
+    reduces to (one round of) the octave rule.
+
+    x: [batch, T] audio; pitch_hz: [batch, frames, 1]. Returns corrected
+    pitch_hz (clip-level factor applied to every frame).
+    """
+    spec = stft_magnitude(x, size=n_fft, overlap=0.75).mean(axis=1)  # [b, bins]
+    df = sample_rate / n_fft
+    n_bins = spec.shape[-1]
+    b = spec.shape[0]
+    f0 = jnp.median(pitch_hz[:, :, 0], axis=1)  # [b]
+    nyquist = sample_rate / 2.0
+    global_peak = spec.max(axis=-1)  # [b]
+    max_halfwidth = max(1, int(0.02 * (n_bins - 1)))
+    offsets = jnp.arange(-max_halfwidth, max_halfwidth + 1)
+
+    def band_peak(freq):
+        # freq: [b, m] Hz -> max magnitude in a +-2% band around each
+        flat = freq.reshape(b, -1)
+        idx = jnp.round(flat / df).astype(jnp.int32)
+        vals = jnp.take_along_axis(
+            spec[:, None, :].repeat(flat.shape[1], axis=1),
+            jnp.clip(idx[..., None] + offsets[None, None, :], 0, n_bins - 1),
+            axis=-1)
+        halfwidth = jnp.maximum(1, (0.02 * idx).astype(jnp.int32))
+        mask = jnp.abs(offsets)[None, None, :] <= halfwidth[..., None]
+        return jnp.where(mask, vals, 0.0).max(-1).reshape(freq.shape)
+
+    r = jnp.asarray(ratios, jnp.float32)  # [R]
+    ks = jnp.arange(1, n_harmonics + 1, dtype=jnp.float32)  # [K]
+    fc = f0[:, None] * r[None, :]  # [b, R]
+    comb = fc[..., None] * ks[None, None, :]  # [b, R, K]
+    s = band_peak(comb.reshape(b, -1)).reshape(comb.shape)
+    s = s / (global_peak[:, None, None] + 1e-20)
+    in_range = comb < nyquist
+    score = jnp.sum(jnp.where(in_range, jnp.minimum(s, 1.0), 0.0), axis=-1)
+
+    fund = s[..., 0]
+    thr = jnp.where(r < 1.0, down_threshold, rel_threshold)[None, :]
+    admissible = (fund >= thr) & (fc >= min_frequency_hz) & (fc < nyquist)
+    i1 = list(ratios).index(1.0)
+    identity_valid = admissible[:, i1]
+    identity_score = score[:, i1][:, None]
+    not_identity = (r != 1.0)[None, :]
+    # identity invalid -> any admissible candidate; identity valid -> only
+    # down candidates that clearly beat it
+    elig_invalid = admissible & not_identity
+    elig_valid = (admissible & (r < 1.0)[None, :]
+                  & (score > identity_score * (1.0 + margin)))
+    eligible = jnp.where(identity_valid[:, None], elig_valid, elig_invalid)
+    masked = jnp.where(eligible, score, -jnp.inf)
+    best = jnp.argmax(masked, axis=-1)
+    factor = jnp.where(jnp.any(eligible, axis=-1), r[best], 1.0)
+    return pitch_hz * factor[:, None, None]
+
+
 def wasserstein_distance(x: Array, x_hat: Array, p: float = 1, n_fft: int = 512) -> Array:
     """W_p^p between magnitude spectra on a fixed linspace support
     (reference metrics.py:145-149)."""

@@ -424,6 +424,19 @@ def apply_octave_correction(mod: Modules, x: Array, pitch_hz: Array
     return pitch_hz, hz_to_unit(pitch_hz, mod.freq_hz_min, mod.freq_hz_max)
 
 
+def apply_comb_correction(mod: Modules, x: Array, pitch_hz: Array
+                          ) -> Tuple[Array, Array]:
+    """Config-parameterised harmonic-comb correction (supersedes the octave
+    rule when enabled); returns the corrected (pitch_hz, pitch_unit)."""
+    pitch_hz = metrics_lib.comb_correct_pitch(
+        x, pitch_hz, sample_rate=mod.config.sample_rate,
+        rel_threshold=mod.config.octave_correction_rel_threshold,
+        down_threshold=mod.config.octave_correction_down_threshold,
+        margin=mod.config.comb_correction_margin,
+        min_frequency_hz=0.95 * mod.config.freq_gen_min)
+    return pitch_hz, hz_to_unit(pitch_hz, mod.freq_hz_min, mod.freq_hz_max)
+
+
 def predict(mod: Modules, params: Any, x: Array,
             octave_correction: Optional[bool] = None) -> Dict[str, Array]:
     """Deployment inference entry: pitch + harmonic amplitudes for audio x.
@@ -434,6 +447,10 @@ def predict(mod: Modules, params: Any, x: Array,
     explicit argument). jit-able: ``jax.jit(partial(predict, mod))``.
     """
     out = forward(mod, params, x, train=False)
+    if mod.config.inference_comb_correction:
+        out["pitch_hz"], out["pitch_unit"] = apply_comb_correction(
+            mod, x, out["pitch_hz"])
+        return out
     if octave_correction is None:
         octave_correction = mod.config.inference_octave_correction
     if octave_correction:
@@ -450,7 +467,9 @@ def _eval_metrics(mod: Modules, params: Any, x: Array, true_pitch: Array
                                      prior_scale=jnp.float32(0.0))
     pitch_hz = out["pitch_hz"]  # [batch, frames, 1]
     pitch_unit = out["pitch_unit"]
-    if mod.config.eval_octave_correction:
+    if mod.config.eval_comb_correction:
+        pitch_hz, pitch_unit = apply_comb_correction(mod, x, pitch_hz)
+    elif mod.config.eval_octave_correction:
         pitch_hz, pitch_unit = apply_octave_correction(mod, x, pitch_hz)
     true_pitch_hz = jnp.broadcast_to(true_pitch[:, None, :], pitch_hz.shape)
     m = metrics_lib.compute_metrics(

@@ -144,6 +144,56 @@ def test_octave_correct_pitch():
     np.testing.assert_allclose(out[3, :, 0], 7000.0)
 
 
+def test_comb_correct_pitch():
+    """Harmonic-comb correction fixes octave AND fifth/third-ratio clip
+    errors while leaving correct predictions (incl. subharmonic-ambiguous
+    ones) untouched."""
+    sr, T = 16000, 4096
+    t = np.arange(T) / sr
+    f0 = np.array([440.0, 440.0, 440.0, 400.0, 440.0, 200.0])
+    x = np.stack([
+        sum(np.sin(2 * np.pi * k * f * t) / k for k in range(1, 5))
+        for f in f0
+    ]).astype(np.float32)
+    frames = 16
+    pred = np.stack([
+        np.full(frames, 220.0),   # octave down -> 440
+        np.full(frames, 660.0),   # fifth up (1.5x) -> x2/3 -> 440
+        np.full(frames, 440.0),   # correct -> unchanged
+        np.full(frames, 1200.0),  # 3x -> x1/3 -> 400
+        np.full(frames, 880.0),   # octave up -> 440
+        np.full(frames, 266.67),  # 4/3 up -> x3/4 -> 200
+    ]).astype(np.float32)[..., None]
+    out = np.asarray(M.comb_correct_pitch(jnp.asarray(x), jnp.asarray(pred),
+                                          sample_rate=sr))
+    np.testing.assert_allclose(out[0, :, 0], 440.0)
+    np.testing.assert_allclose(out[1, :, 0], 440.0)
+    np.testing.assert_allclose(out[2, :, 0], 440.0)
+    np.testing.assert_allclose(out[3, :, 0], 400.0)
+    np.testing.assert_allclose(out[4, :, 0], 440.0)
+    np.testing.assert_allclose(out[5, :, 0], 200.0, rtol=1e-3)
+
+
+def test_comb_correction_no_subharmonic_collapse():
+    """A correct prediction must not be dragged to f0/2 or f0/3 even though
+    those combs CONTAIN every true harmonic: their own fundamental band is
+    empty, so they are inadmissible."""
+    sr, T = 16000, 4096
+    t = np.arange(T) / sr
+    x = np.stack([
+        sum(np.sin(2 * np.pi * k * 600.0 * t) for k in range(1, 9)),
+        np.sin(2 * np.pi * 3000.0 * t),  # single partial: nothing to gain
+    ]).astype(np.float32)
+    pred = np.stack([
+        np.full(16, 600.0),
+        np.full(16, 3000.0),
+    ]).astype(np.float32)[..., None]
+    out = np.asarray(M.comb_correct_pitch(jnp.asarray(x), jnp.asarray(pred),
+                                          sample_rate=sr))
+    np.testing.assert_allclose(out[0, :, 0], 600.0)
+    np.testing.assert_allclose(out[1, :, 0], 3000.0)
+
+
 def test_predict_inference_octave_correction():
     """trainer.predict applies the (config-gated) octave correction to the
     RETURNED pitch — the deployment path, not just eval metrics."""
