@@ -5,9 +5,11 @@ the reference's `synthetic_results_paper_best-lsd` semantics
 (reference eval_paper.py:111-253).
 Column B  (best-known unsupervised recipe, beyond-reference): per family,
 temperature-anneal [1.0,0.1,1500] where the family has the quantile cutoff
-+ bidirectional octave correction at eval; plain training + correction
-otherwise (recipe map below; octave correction is dropped for families
-where the round-2 sensitivity sweep shows it misfires).
++ the harmonic-comb test-time correction (metrics.comb_correct_pitch) at
+eval. The comb correction dominates or equals the older octave rule on
+every family checkpoint measured (seed-42: SOT-512 61.6->98.7,
+SOT-NoCut 64.2->99.5 where the octave rule MISFIRED, SOT-2048 parity,
+MSS-Lin parity with octcorr), so it is the uniform recipe.
 
 SOT-2048 column-A rows are reused from round 1 (identical protocol,
 results/round1/synthetic_results_best-lsd.json); everything else reads
@@ -35,22 +37,25 @@ SEEDS = (42, 123, 456, 789, 101112)
 
 # column-B recipe per family: (runs subdir, which metrics file)
 #   'best' = trained with the anneal preset; 'ref' = reference training
-#   'octcorr' = bidirectional octave correction applied at eval
+#   'comb' = harmonic-comb correction at eval (supersedes 'octcorr'
+#   everywhere: >= the octave rule on every family, no misfires)
 BEST_RECIPE = {
-    "SOT-2048": ("best", "octcorr"),
-    "SOT-512": ("best", "octcorr"),
-    "SOT-2048-SS": ("best", "octcorr"),
-    "SOT-512-LogF": ("ref", "octcorr"),
-    "SOT-NoCut": ("ref", "plain"),   # correction misfires on NoCut (round 1)
-    "MSS-Lin": ("ref", "octcorr"),
-    "MSS-LogLin": ("ref", "octcorr"),
+    "SOT-2048": ("best", "comb"),
+    "SOT-512": ("best", "comb"),
+    "SOT-2048-SS": ("best", "comb"),
+    "SOT-512-LogF": ("ref", "comb"),
+    "SOT-NoCut": ("ref", "comb"),
+    "MSS-Lin": ("ref", "comb"),
+    "MSS-LogLin": ("ref", "comb"),
 }
+
+_VARIANT_FILES = {"plain": "test_metrics.json",
+                  "octcorr": "test_metrics_octcorr.json",
+                  "comb": "test_metrics_comb.json"}
 
 
 def read_run(path: str, variant: str):
-    fname = ("test_metrics.json" if variant == "plain"
-             else "test_metrics_octcorr.json")
-    fp = os.path.join(path, fname)
+    fp = os.path.join(path, _VARIANT_FILES[variant])
     if not os.path.exists(fp):
         return None
     return rename_metrics(json.load(open(fp))["test_metrics"])

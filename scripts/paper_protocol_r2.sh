@@ -62,6 +62,25 @@ evalonly() {
   timeout 900 python -m sot_tpu.cli evaluate --split test --ckpt "$ckpt" \
     --set eval_octave_correction=true \
     > "$out/test_metrics_octcorr.json" 2>> "$out.eval.log" || { echo "EVAL FAIL $sub (octcorr)"; return 1; }
+  timeout 900 python -m sot_tpu.cli evaluate --split test --ckpt "$ckpt" \
+    --set eval_comb_correction=true \
+    > "$out/test_metrics_comb.json" 2>> "$out.eval.log" || { echo "EVAL FAIL $sub (comb)"; return 1; }
+}
+
+# comb_backfill <out-subdir>: add the comb-corrected test eval to a run that
+# completed before the comb correction existed (in-run checkpoints, or the
+# source checkpoint an evalonly run recorded)
+comb_backfill() {
+  local out="runs/round2/$1" ckpt
+  [ -f "$out/test_metrics_comb.json" ] && return 0
+  if [ -d "$out/checkpoints/best-lsd" ]; then ckpt="$out/checkpoints/best-lsd"
+  elif [ -f "$out/source_ckpt.txt" ]; then ckpt=$(cat "$out/source_ckpt.txt")
+  else echo "no ckpt for comb backfill $1"; return 0; fi
+  stop_check
+  echo "=== comb backfill $1 $(date +%H:%M:%S) ==="
+  timeout 900 python -m sot_tpu.cli evaluate --split test --ckpt "$ckpt" \
+    --set eval_comb_correction=true \
+    > "$out/test_metrics_comb.json" 2>> "$out.eval.log" || echo "COMB BACKFILL FAIL $1"
 }
 
 ANNEAL1500=(--set 'temperature_schedule=[1.0,0.1,1500]')
@@ -113,5 +132,11 @@ done
 # --- column A: MSS baselines ---
 for seed in 42 123 456 789 101112; do train_one "ref/MSS-Lin-$seed"    MSS-Lin    "$seed"; done
 for seed in 42 123 456 789 101112; do train_one "ref/MSS-LogLin-$seed" MSS-LogLin "$seed"; done
+
+# --- comb-correction backfill for runs completed before the comb eval ---
+for d in runs/round2/ref/* runs/round2/best/*; do
+  [ -d "$d" ] || continue
+  comb_backfill "${d#runs/round2/}"
+done
 
 echo "=== paper protocol queue done $(date +%H:%M:%S) ==="

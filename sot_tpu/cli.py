@@ -149,21 +149,24 @@ def cmd_train(args: argparse.Namespace) -> int:
 
     if args.final_eval and "test" in splits:
         # in-process test eval of the best-LSD params (the returned state
-        # carries them), with and without the unsupervised octave
-        # correction — saves a full CLI/compile round-trip per sweep run
+        # carries them): plain, octave-corrected, and comb-corrected —
+        # saves a full CLI/compile round-trip per sweep run
         from sot_tpu.training.trainer import (build_modules, evaluate,
                                               make_eval_step)
 
-        for octcorr, fname in ((False, "test_metrics.json"),
-                               (True, "test_metrics_octcorr.json")):
-            cfg_e = cfg.replace(eval_octave_correction=octcorr)
+        for variant, fname in (("plain", "test_metrics.json"),
+                               ("octcorr", "test_metrics_octcorr.json"),
+                               ("comb", "test_metrics_comb.json")):
+            cfg_e = cfg.replace(
+                eval_octave_correction=variant == "octcorr",
+                eval_comb_correction=variant == "comb")
             mod = build_modules(cfg_e)
             m = evaluate(mod, make_eval_step(mod), state.params,
                          splits["test"], cfg.batch_size)
             with open(os.path.join(out, fname), "w") as fh:
                 json.dump({"test_metrics": m}, fh, indent=2)
-            print(json.dumps({("test_metrics_octcorr" if octcorr
-                               else "test_metrics"): m}))
+            key = "test_metrics" + ("" if variant == "plain" else f"_{variant}")
+            print(json.dumps({key: m}))
     return 0
 
 
