@@ -124,9 +124,12 @@ evalonly best/SOT-512-42 runs/tricks/sot512-anneal-42/checkpoints/best-lsd
 for seed in 123 456 789 101112; do
   train_one "best/SOT-512-$seed" SOT-512 "$seed" "${ANNEAL1500[@]}"
 done
-evalonly best/SOT-2048-SS-42 runs/tricks/sot2048ss-anneal-42/checkpoints/best-lsd
-for seed in 123 456 789 101112; do
-  train_one "best/SOT-2048-SS-$seed" SOT-2048-SS "$seed" "${ANNEAL1500[@]}"
+# SS escapes its plateau slowly (round 1: RPA still climbing 89->91 between
+# 25k and 40k), so the best-recipe column trains SS to 50k for ALL seeds
+# rather than reusing the 25k seed-42 checkpoint
+for seed in 42 123 456 789 101112; do
+  train_one "best/SOT-2048-SS-$seed" SOT-2048-SS "$seed" \
+    --steps 50000 "${ANNEAL1500[@]}"
 done
 
 # --- column A: MSS baselines ---
