@@ -113,28 +113,28 @@ evalonly  best/SOT-2048-123    runs/tricks/anneal1500-123/checkpoints/best-lsd
 evalonly  best/SOT-2048-456    runs/tricks/anneal1500-456/checkpoints/best-lsd
 evalonly  best/SOT-2048-789    runs/tricks/anneal1500-789/checkpoints/best-lsd
 
-# --- column A: remaining families, 5 seeds each ---
-for seed in 42 123 456 789 101112; do train_one "ref/SOT-512-LogF-$seed" SOT-512-LogF "$seed"; done
-for seed in 42 123 456 789 101112; do train_one "ref/SOT-512-$seed"      SOT-512      "$seed"; done
-for seed in 42 123 456 789 101112; do train_one "ref/SOT-NoCut-$seed"    SOT-NoCut    "$seed"; done
-for seed in 42 123 456 789 101112; do train_one "ref/SOT-2048-SS-$seed"  SOT-2048-SS  "$seed"; done
-
-# --- column B: anneal-1500 for the remaining cutoff families ---
-evalonly best/SOT-512-42 runs/tricks/sot512-anneal-42/checkpoints/best-lsd
-for seed in 123 456 789 101112; do
-  train_one "best/SOT-512-$seed" SOT-512 "$seed" "${ANNEAL1500[@]}"
-done
-# SS escapes its plateau slowly (round 1: RPA still climbing 89->91 between
-# 25k and 40k), so the best-recipe column trains SS to 50k for ALL seeds
-# rather than reusing the 25k seed-42 checkpoint
-for seed in 42 123 456 789 101112; do
+# --- remaining families, SEED-MAJOR so a partial sweep still covers every
+# family at the leading seeds (the tunnel outage may truncate the queue).
+# ref = reference protocol (column A); best = anneal-1500 (column B; the
+# comb-corrected eval rides along via --final-eval). SS best trains to 50k:
+# round 1 shows the family still escaping at 25k (89->91 RPA by 40k).
+queue_seed() {
+  local seed=$1
+  train_one "ref/SOT-512-LogF-$seed" SOT-512-LogF "$seed"
+  train_one "ref/SOT-512-$seed"      SOT-512      "$seed"
+  train_one "ref/SOT-NoCut-$seed"    SOT-NoCut    "$seed"
+  train_one "ref/SOT-2048-SS-$seed"  SOT-2048-SS  "$seed"
+  if [ "$seed" = 42 ]; then
+    evalonly best/SOT-512-42 runs/tricks/sot512-anneal-42/checkpoints/best-lsd
+  else
+    train_one "best/SOT-512-$seed" SOT-512 "$seed" "${ANNEAL1500[@]}"
+  fi
   train_one "best/SOT-2048-SS-$seed" SOT-2048-SS "$seed" \
     --steps 50000 "${ANNEAL1500[@]}"
-done
-
-# --- column A: MSS baselines ---
-for seed in 42 123 456 789 101112; do train_one "ref/MSS-Lin-$seed"    MSS-Lin    "$seed"; done
-for seed in 42 123 456 789 101112; do train_one "ref/MSS-LogLin-$seed" MSS-LogLin "$seed"; done
+  train_one "ref/MSS-Lin-$seed"    MSS-Lin    "$seed"
+  train_one "ref/MSS-LogLin-$seed" MSS-LogLin "$seed"
+}
+for seed in 42 123 456 789 101112; do queue_seed "$seed"; done
 
 # --- comb-correction backfill for runs completed before the comb eval ---
 for d in runs/round2/ref/* runs/round2/best/*; do
