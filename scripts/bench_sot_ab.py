@@ -60,20 +60,23 @@ def make_fns(grid, v):
                                      limit_quantile_range=True,
                                      target_constant=True)
 
+    # Both fns thread a carry scalar: each timed dispatch gets a DIFFERENT
+    # argument (the accumulated loss), so the tunnel's identical-arg result
+    # cache (verify SKILL.md) can never elide an iteration.
     @jax.jit
-    def fwd_scan(us):
+    def fwd_scan(us, c0):
         def body(c, u):
             return c + jnp.sum(loss_rows(u)), None
-        out, _ = jax.lax.scan(body, 0.0, us)
+        out, _ = jax.lax.scan(body, c0, us)
         return out
 
     @jax.jit
-    def grad_scan(us):
+    def grad_scan(us, c0):
         g = jax.grad(lambda u: jnp.sum(loss_rows(u)))
 
         def body(c, u):
             return c + jnp.sum(jnp.abs(g(u))), None
-        out, _ = jax.lax.scan(body, 0.0, us)
+        out, _ = jax.lax.scan(body, c0, us)
         return out
 
     return fwd_scan, grad_scan
@@ -81,11 +84,14 @@ def make_fns(grid, v):
 
 def time_call(fn, us, iters: int):
     import jax
+    import jax.numpy as jnp
 
-    jax.block_until_ready(fn(us))  # compile
+    c = fn(us, jnp.float32(0.0))  # compile + warm
+    jax.block_until_ready(c)
     t0 = time.perf_counter()
-    vals = [fn(us) for _ in range(iters)]
-    jax.block_until_ready(vals)
+    for _ in range(iters):
+        c = fn(us, c)  # chained carry: distinct args, serial dependency
+    jax.block_until_ready(c)
     return (time.perf_counter() - t0) / (iters * us.shape[0]) * 1e3
 
 

@@ -123,6 +123,34 @@ def main() -> int:
     with open(os.path.join(args.out, "synthetic_results_paper_best-lsd.csv"), "w") as fh:
         fh.write("\n".join(lines) + "\n")
 
+    # Collapse-rate addendum: all reference-protocol SOT-2048 seeds (round-1
+    # headline 5 + runs/round2/refextra extras) — pins how often the
+    # reference training protocol lands in a degenerate basin.
+    rpas = {}
+    for r in r1:
+        if r["experiment"] == "SOT-2048":
+            rpas[r["run"]] = r["RPA"]
+    for d in sorted(glob.glob(f"{args.runs}/refextra/SOT-2048-*")):
+        row = read_run(d, "plain")
+        if row is not None:
+            rpas[os.path.basename(d)] = row["RPA"]
+    if rpas:
+        vals = sorted(rpas.values())
+        collapse = {
+            "n_seeds": len(vals),
+            "rpa_per_seed": rpas,
+            "frac_below_20": sum(v < 20 for v in vals) / len(vals),
+            "frac_below_50": sum(v < 50 for v in vals) / len(vals),
+            "note": "reference-protocol SOT-2048; RPA<20 = never escaped "
+                    "the plateau or full octave collapse, RPA<50 = any "
+                    "degenerate basin (round-1 root-cause analysis)",
+        }
+        with open(os.path.join(args.out, "sot2048_collapse.json"), "w") as fh:
+            json.dump(collapse, fh, indent=2)
+        print(f"collapse rate over {len(vals)} seeds: "
+              f"<20: {collapse['frac_below_20']:.2f}  "
+              f"<50: {collapse['frac_below_50']:.2f}")
+
     for name, tab in (("REFERENCE PROTOCOL", table_a), ("BEST RECIPE", table_b)):
         print(f"== {name} ==")
         for fam, row in tab.items():

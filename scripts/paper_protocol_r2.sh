@@ -142,4 +142,15 @@ for d in runs/round2/ref/* runs/round2/best/*; do
   comb_backfill "${d#runs/round2/}"
 done
 
+python scripts/collect_round2.py || true
 echo "=== paper protocol queue done $(date +%H:%M:%S) ==="
+
+# --- VERDICT task-1 addendum (lowest priority, after the full table): extra
+# reference-protocol SOT-2048 seeds to pin the collapse-rate distribution
+# (round 1 has only 5 seeds: 2 collapsed, mean 41.3(25.2)) ---
+mkdir -p runs/round2/refextra
+for seed in 7 555 777 999 1234 2024 31337 424242 654321 87654; do
+  train_one "refextra/SOT-2048-$seed" SOT-2048 "$seed"
+done
+python scripts/collect_round2.py || true
+echo "=== collapse-rate addendum done $(date +%H:%M:%S) ==="

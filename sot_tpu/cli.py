@@ -282,7 +282,19 @@ def cmd_analyze(args: argparse.Namespace) -> int:
     state, _ = ckpt_lib.restore(args.ckpt, state)
     splits = data_lib.dataset_from_config(cfg)
     split = splits[args.split]
-    fwd = jax.jit(lambda p, x: forward(mod, p, x)["pitch_hz"])
+
+    def predict_pitch(p, x):
+        from sot_tpu.training.trainer import (apply_comb_correction,
+                                              apply_octave_correction)
+
+        pitch_hz = forward(mod, p, x)["pitch_hz"]
+        if args.correction == "octave":
+            pitch_hz, _ = apply_octave_correction(mod, x, pitch_hz)
+        elif args.correction == "comb":
+            pitch_hz, _ = apply_comb_correction(mod, x, pitch_hz)
+        return pitch_hz
+
+    fwd = jax.jit(predict_pitch)
     chunks = []
     for batch in data_lib.iterate_batches(split, cfg.batch_size, drop_last=False):
         chunks.append(np.asarray(fwd(state.params, jnp.asarray(batch["x"]))))
@@ -355,6 +367,10 @@ def build_parser() -> argparse.ArgumentParser:
     a.add_argument("--dataset-size", type=int, default=None)
     a.add_argument("--split", default="val", choices=("train", "val", "test"))
     a.add_argument("--set", action="append", default=None, metavar="KEY=VAL")
+    a.add_argument("--correction", default="none",
+                   choices=("none", "octave", "comb"),
+                   help="apply a test-time correction before the breakdown "
+                        "(classifies the post-correction residual)")
     a.set_defaults(fn=cmd_analyze)
 
     l = sub.add_parser("list", help="list experiment presets")
