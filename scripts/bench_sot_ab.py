@@ -115,13 +115,29 @@ def main() -> None:
             os.environ["SOT_TPU_W2_SORTMERGE"] = "1"
         elif variant == "merge":
             os.environ["SOT_TPU_W2_MERGE"] = "1"
-        fwd, grad = make_fns(grid, v)
-        fwd_ms = time_call(fwd, us, args.iters)
-        grad_ms = time_call(grad, us, args.iters)
-        results[variant] = {"fwd_ms": round(fwd_ms, 3),
-                            "grad_ms": round(grad_ms, 3)}
-        print(f"{variant:10s} fwd {fwd_ms:7.3f} ms  grad {grad_ms:7.3f} ms",
-              flush=True)
+        # merge kernel: retry at smaller row blocks if Mosaic rejects the
+        # ~14 MB VMEM working set at 128 rows (first real-TPU compile
+        # happens unattended here — never kill the whole A/B on it)
+        rows_options = (128, 64, 32) if variant == "merge" else (0,)
+        for rows in rows_options:
+            if rows:
+                os.environ["SOT_TPU_MERGE_ROWS"] = str(rows)
+            try:
+                fwd, grad = make_fns(grid, v)
+                fwd_ms = time_call(fwd, us, args.iters)
+                grad_ms = time_call(grad, us, args.iters)
+            except Exception as e:  # noqa: BLE001 — record, try next config
+                results[variant] = {"error": f"{type(e).__name__}: {e}"[:500],
+                                    **({"rows": rows} if rows else {})}
+                print(f"{variant:10s} FAILED (rows={rows}): {e}", flush=True)
+                continue
+            results[variant] = {"fwd_ms": round(fwd_ms, 3),
+                                "grad_ms": round(grad_ms, 3),
+                                **({"rows": rows} if rows else {})}
+            print(f"{variant:10s} fwd {fwd_ms:7.3f} ms  grad {grad_ms:7.3f} ms"
+                  + (f"  (rows={rows})" if rows else ""), flush=True)
+            break
+        os.environ.pop("SOT_TPU_MERGE_ROWS", None)
 
     os.makedirs("results/round2", exist_ok=True)
     with open("results/round2/sot_ab.json", "w") as f:

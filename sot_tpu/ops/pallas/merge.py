@@ -51,6 +51,7 @@ before making it the default.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -60,7 +61,14 @@ from .sot import _interpret
 
 Array = jax.Array
 
-_ROWS = 128  # rows per program, riding the 128 lanes
+
+def _rows() -> int:
+    """Rows per program, riding the 128 lanes.  The merge+scan stages keep
+    ~7 live [2*M2, rows] f32 buffers (t/sw/f + per-stage partners + masks);
+    at rows=128 and n_aug-1=1025 (M2=2048) that is ~14 MB — right at the
+    ~16 MB/core VMEM budget.  SOT_TPU_MERGE_ROWS=64/32 halves/quarters the
+    block if Mosaic rejects 128 (read at trace time)."""
+    return int(os.environ.get("SOT_TPU_MERGE_ROWS", "128"))
 
 
 def _round_up(v: int, m: int) -> int:
@@ -216,8 +224,9 @@ def _prep_merge(a: Array, b: Array, x: Array):
     rows, m = a.shape
     m8 = _round_up(m, 8)
     M2 = _next_pow2(m8)
-    rows_p = _round_up(rows, _ROWS)
-    n_prog = rows_p // _ROWS
+    R = _rows()
+    rows_p = _round_up(rows, R)
+    n_prog = rows_p // R
     a_p = _pad_desc(a, m8)
     b_rev = _pad_desc(b, m8)[:, ::-1]
     # padded rows: a = b = -1 everywhere is a valid bitonic valley with zero
@@ -234,19 +243,20 @@ def _coupling_fwd_pallas(a: Array, b: Array, x: Array) -> Array:
 
     rows, m = a.shape
     a_t, b_t, xa, xb, m8, M2, n_prog = _prep_merge(a, b, x)
-    col_spec = pl.BlockSpec((m8, _ROWS), lambda i: (0, i),
+    R = _rows()
+    col_spec = pl.BlockSpec((m8, R), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
     x_spec = pl.BlockSpec((m8, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, m8=m8, M2=M2),
         grid=(n_prog,),
         in_specs=[col_spec, col_spec, x_spec, x_spec],
-        out_specs=pl.BlockSpec((1, 1, _ROWS), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, 1, R), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_prog, 1, _ROWS), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_prog, 1, R), jnp.float32),
         interpret=_interpret(),
     )(a_t, b_t, xa, xb)
-    return out.reshape(n_prog * _ROWS)[:rows]
+    return out.reshape(n_prog * R)[:rows]
 
 
 def _coupling_grads_pallas(a: Array, b: Array, x: Array,
@@ -256,7 +266,8 @@ def _coupling_grads_pallas(a: Array, b: Array, x: Array,
 
     rows, m = a.shape
     a_t, b_t, xa, xb, m8, M2, n_prog = _prep_merge(a, b, x)
-    col_spec = pl.BlockSpec((m8, _ROWS), lambda i: (0, i),
+    R = _rows()
+    col_spec = pl.BlockSpec((m8, R), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
     x_spec = pl.BlockSpec((m8, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
     n_outs = 2 if alpha_grads else 1
@@ -266,7 +277,7 @@ def _coupling_grads_pallas(a: Array, b: Array, x: Array,
         grid=(n_prog,),
         in_specs=[col_spec, col_spec, x_spec, x_spec],
         out_specs=[col_spec] * n_outs,
-        out_shape=[jax.ShapeDtypeStruct((m8, n_prog * _ROWS), jnp.float32)
+        out_shape=[jax.ShapeDtypeStruct((m8, n_prog * R), jnp.float32)
                    for _ in range(n_outs)],
         interpret=_interpret(),
     )(a_t, b_t, xa, xb)
