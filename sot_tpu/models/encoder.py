@@ -114,8 +114,47 @@ class ToeplitzLinear(nn.Module):
         return _toeplitz_apply(x, w, self.in_features, self.out_features)
 
 
+def _use_pallas_conv(kernel_size: int, padding: int) -> bool:
+    import os
+
+    if kernel_size <= 1 or padding != (kernel_size - 1) // 2:
+        return False
+    if not os.environ.get("SOT_TPU_CONV_PALLAS"):
+        return False
+    if os.environ.get("SOT_TPU_PALLAS_INTERPRET"):
+        return True
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+class _PallasConvInner(nn.Module):
+    """Param-compatible stand-in for ``nn.Conv`` (same 'kernel'/'bias'
+    names, shapes, and path-derived init RNG) dispatching the wide-kernel
+    convs to the fused Pallas kernel (ops/pallas/conv.py)."""
+
+    features: int
+    kernel_size: int
+    fan_in: int
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        from sot_tpu.ops.pallas.conv import conv1d_same
+
+        in_ch = x.shape[-1]
+        init = _torch_uniform_init(self.fan_in)
+        w = self.param("kernel", init,
+                       (self.kernel_size, in_ch, self.features))
+        b = self.param("bias", init, (self.features,))
+        return conv1d_same(x, w, self.kernel_size) + b
+
+
 class _Conv(nn.Module):
-    """1D conv (NWC) with torch-default initialisation."""
+    """1D conv (NWC) with torch-default initialisation.
+
+    SOT_TPU_CONV_PALLAS=1 routes k>1 'same' convs through the fused
+    Pallas im2col kernel (identical param tree; A/B gate)."""
 
     features: int
     kernel_size: int
@@ -125,6 +164,9 @@ class _Conv(nn.Module):
     def __call__(self, x: Array) -> Array:
         in_ch = x.shape[-1]
         fan_in = in_ch * self.kernel_size
+        if _use_pallas_conv(self.kernel_size, self.padding):
+            return _PallasConvInner(self.features, self.kernel_size,
+                                    fan_in, name="Conv_0")(x)
         return nn.Conv(
             features=self.features,
             kernel_size=(self.kernel_size,),

@@ -1,0 +1,192 @@
+"""Fused 'same' conv1d for the encoder's k=15 prefilter stack (Pallas).
+
+The reference encoder's hot convs (reference encoder.py:159-233) are
+small-channel (1->40, 40->40) width-15 convs over 285 CQT bins. XLA's
+NWC conv1d on TPU leaves most of the MXU idle at these shapes (measured
+~1.7 ms of the 15 ms SOT-2048 train step, round-1 profile). This kernel
+reaches the same math as one MXU matmul per row tile:
+
+  * layout: channel-major [rows, C, W] with the BIN axis on lanes (W pads
+    to a 128 multiple), so building the im2col matrix is k lane-rolls +
+    one sublane concat — all Mosaic-native, no gathers and no HBM
+    round-trip for the 15x-expanded window matrix (XLA's im2col would
+    materialise ~700 MB/step in HBM at training shapes).
+  * per row: Y [C_out, W] = Wflat [C_out, C_in*k] @ Xwin [C_in*k, W] —
+    K = C_in*k = 600 rides the MXU's contraction axis (vs K = 40 for a
+    tap-by-tap formulation).
+  * operands are cast to bf16 inside the kernel (f32 accumulation),
+    matching XLA's default-precision conv on TPU; compute_dtype=float32
+    gives exact-parity mode for tests.
+
+Backward is two more instances of the same structure: dx is the 'same'
+conv of dy with the tap-flipped, (ci<->co)-transposed kernel; dw is the
+per-tile partial contraction Xwin @ dy^T accumulated in XLA.
+
+Enable in training with SOT_TPU_CONV_PALLAS=1 (hook in
+models/encoder.py:_Conv); A/B against the XLA conv before defaulting.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+
+from .sot import _interpret
+
+Array = jax.Array
+
+_ROW_TILE = 8  # rows per program; VMEM is ~1 MB/program at training shapes
+
+
+def _round_up(v: int, m: int) -> int:
+    return ((v + m - 1) // m) * m
+
+
+def _roll_left(v: Array, d: int) -> Array:
+    """out[..., w] = v[..., w + d] (circular along lanes)."""
+    if d == 0:
+        return v
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pltpu.roll(v, shift=v.shape[-1] - d, axis=len(v.shape) - 1)
+
+
+def _xwin(xb: Array, k: int, dtype) -> Array:
+    """im2col window matrix [C_in*k, Wp] from one row's [C_in, Wp];
+    row index d*C_in + ci holds x[ci, w + d]."""
+    return jnp.concatenate([_roll_left(xb, d) for d in range(k)],
+                           axis=0).astype(dtype)
+
+
+def _fwd_kernel(x_ref, w_ref, y_ref, *, k: int, dtype):
+    for b in range(x_ref.shape[0]):
+        xw = _xwin(x_ref[b], k, dtype)
+        y_ref[b] = jnp.dot(w_ref[:].astype(dtype), xw,
+                           preferred_element_type=jnp.float32)
+
+
+def _dw_kernel(x_ref, dy_ref, dw_ref, *, k: int, dtype):
+    acc = jnp.zeros(dw_ref.shape[1:], jnp.float32)
+    for b in range(x_ref.shape[0]):
+        xw = _xwin(x_ref[b], k, dtype)
+        acc = acc + jax.lax.dot_general(
+            xw, dy_ref[b].astype(dtype),
+            (((1,), (1,)), ((), ())),  # contract over W lanes
+            preferred_element_type=jnp.float32)
+    dw_ref[0] = acc
+
+
+def _compute_dtype() -> jnp.dtype:
+    return jnp.dtype(os.environ.get("SOT_TPU_CONV_DTYPE", "bfloat16"))
+
+
+def _prep(x: Array, k: int):
+    """[B, W, C] -> channel-major zero-padded [Bp, C, Wp].
+
+    The kernel's lane rolls are circular, so the last k-1 lanes of every
+    rolled copy hold wrapped head values; Wp >= w + k - 1 keeps them
+    strictly outside the kept outputs [0, w) (fwd) and on zero dy lanes
+    (dw). y_cm[q] = sum_d K[d] x_cm[q + d] = sum_d K[d] x[q + d - pad] is
+    the 'same' output at w_out = q directly."""
+    b, w, _ = x.shape
+    pad = (k - 1) // 2
+    wp = _round_up(w + k - 1, 128)
+    bp = _round_up(b, _ROW_TILE)
+    x_cm = jnp.pad(jnp.swapaxes(x, 1, 2).astype(jnp.float32),
+                   ((0, bp - b), (0, 0), (pad, wp - w - pad)))
+    return x_cm, wp, bp, pad
+
+
+def _conv_cmajor_fwd(x_cm: Array, wflat: Array, k: int) -> Array:
+    """x_cm [Bp, C_in, Wp], wflat [C_out, C_in*k] -> y_cm [Bp, C_out, Wp]."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    bp, cin, wp = x_cm.shape
+    cout = wflat.shape[0]
+    n_prog = bp // _ROW_TILE
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, k=k, dtype=_compute_dtype()),
+        grid=(n_prog,),
+        in_specs=[
+            pl.BlockSpec((_ROW_TILE, cin, wp), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cout, cin * k), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_ROW_TILE, cout, wp), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bp, cout, wp), jnp.float32),
+        interpret=_interpret(),
+    )(x_cm, wflat)
+
+
+def _conv_cmajor_dw(x_cm: Array, dy_cm: Array, k: int) -> Array:
+    """Partial dW per row tile, summed in XLA -> [C_in*k, C_out]."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    bp, cin, wp = x_cm.shape
+    cout = dy_cm.shape[1]
+    n_prog = bp // _ROW_TILE
+    partials = pl.pallas_call(
+        functools.partial(_dw_kernel, k=k, dtype=_compute_dtype()),
+        grid=(n_prog,),
+        in_specs=[
+            pl.BlockSpec((_ROW_TILE, cin, wp), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_ROW_TILE, cout, wp), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, cin * k, cout), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_prog, cin * k, cout), jnp.float32),
+        interpret=_interpret(),
+    )(x_cm, dy_cm)
+    return jnp.sum(partials, axis=0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def conv1d_same(x: Array, kernel: Array, k: int) -> Array:
+    """'same' conv1d, NWC in/out: x [B, W, C_in], kernel [k, C_in, C_out]
+    (flax nn.Conv layout), odd k. Matches
+    ``lax.conv_general_dilated(..., padding=[(p, p)])`` with p=(k-1)//2 at
+    the kernel's compute dtype (bf16 operands / f32 accumulation by
+    default — XLA's default-precision TPU conv; SOT_TPU_CONV_DTYPE=float32
+    for exact parity)."""
+    return _conv1d_same_fwd(x, kernel, k)[0]
+
+
+def _conv1d_same_fwd(x, kernel, k):
+    b, w, cin = x.shape
+    cout = kernel.shape[-1]
+    x_cm, wp, bp, pad = _prep(x, k)
+    wflat = jnp.swapaxes(kernel.reshape(k * cin, cout), 0, 1)
+    y_cm = _conv_cmajor_fwd(x_cm, wflat.astype(jnp.float32), k)
+    y = jnp.swapaxes(y_cm[:b, :, :w], 1, 2)
+    return y, (x, kernel)
+
+
+def _conv1d_same_bwd(k, res, dy):
+    x, kernel = res
+    b, w, cin = x.shape
+    cout = kernel.shape[-1]
+    # dx: 'same' conv of dy with the tap-flipped, (ci<->co)-swapped kernel
+    kflip = jnp.swapaxes(kernel[::-1], 1, 2)  # [k, C_out, C_in]
+    dx = conv1d_same(dy, kflip, k)
+    # dw[d, ci, co] = sum_{rows, w} x[row, ci, w + d - pad] dy[row, co, w]:
+    # contract the im2col of x against dy placed at the x grid's offsets
+    x_cm, wp, bp, pad = _prep(x, k)
+    # dy aligns with y_cm's q-grid (w_out = q): left-aligned, zero tail
+    dy_cm = jnp.pad(jnp.swapaxes(dy, 1, 2).astype(jnp.float32),
+                    ((0, bp - b), (0, 0), (0, wp - w)))
+    dwflat = _conv_cmajor_dw(x_cm, dy_cm, k)  # [(d*cin+ci), cout]
+    dw = dwflat.reshape(k, cin, cout)
+    return dx, dw
+
+
+conv1d_same.defvjp(lambda x, kern, k: _conv1d_same_fwd(x, kern, k),
+                   _conv1d_same_bwd)
