@@ -82,3 +82,12 @@ def test_evaluate_and_analyze(run_dir, capsys):
     rep = json.loads(capsys.readouterr().out)
     assert 0.0 <= rep["rpa"] <= 1.0
     assert rep["clip_failures"]["n_clips"] > 0
+
+    # post-correction residual breakdown (--correction comb) cannot be
+    # worse than the uncorrected report on chroma-consistent errors
+    rc = main(["analyze", "--split", "val", "--correction", "comb",
+               "--ckpt", os.path.join(run_dir, "checkpoints", "best-lsd")])
+    assert rc == 0
+    rep_c = json.loads(capsys.readouterr().out)
+    assert 0.0 <= rep_c["rpa"] <= 1.0
+    assert rep_c["clip_failures"]["n_clips"] == rep["clip_failures"]["n_clips"]
