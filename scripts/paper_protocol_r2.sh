@@ -99,6 +99,12 @@ if [ ! -f results/round2/conv_ab.json ]; then
   timeout 1800 python scripts/bench_conv_ab.py > results/round2/conv_ab.log 2>&1 \
     || echo "CONV A/B FAIL (see results/round2/conv_ab.log)"
 fi
+if [ ! -f results/round2/mss_ab.json ]; then
+  stop_check
+  echo "=== mss dft-matmul A/B $(date +%H:%M:%S) ==="
+  timeout 1800 python scripts/bench_mss_ab.py > results/round2/mss_ab.log 2>&1 \
+    || echo "MSS A/B FAIL (see results/round2/mss_ab.log)"
+fi
 if [ ! -f results/round2/profile_step.txt ]; then
   stop_check
   echo "=== train-step profile $(date +%H:%M:%S) ==="

@@ -132,6 +132,35 @@ def rfft_frequencies(n_fft: int, sample_rate: float) -> np.ndarray:
     return np.fft.rfftfreq(n_fft, d=1.0 / sample_rate).astype(np.float32)
 
 
+@functools.lru_cache(maxsize=16)
+def _dft_matrix(n_fft: int) -> np.ndarray:
+    """Real-DFT basis [n_fft, 2*(n_fft//2+1)]: frames @ M = [re | im] of
+    the rfft. One MXU matmul instead of the XLA TPU FFT — the same
+    lowering trick as the CQT kernel bank (ops/cqt.py), with a matmul VJP
+    instead of an irfft. f32 table; used at f32 matmul precision."""
+    k = np.arange(n_fft // 2 + 1)
+    t = np.arange(n_fft)
+    ang = 2.0 * np.pi * t[:, None] * k[None, :] / n_fft
+    return np.concatenate([np.cos(ang), -np.sin(ang)], axis=1).astype(
+        np.float32)
+
+
+def _use_dft_matmul(n_fft: int) -> bool:
+    import os
+
+    return bool(os.environ.get("SOT_TPU_DFT_MATMUL")) and n_fft <= 4096
+
+
+def _rfft_magnitude(frames: Array, n_fft: int) -> Array:
+    """|rfft(frames)| via the gated DFT matmul or the XLA FFT."""
+    if _use_dft_matmul(n_fft):
+        proj = jnp.dot(frames, jnp.asarray(_dft_matrix(n_fft)),
+                       precision=jax.lax.Precision.HIGHEST)
+        re, im = jnp.split(proj, 2, axis=-1)
+        return _complex_abs(re, im)
+    return complex_magnitude(jnp.fft.rfft(frames, axis=-1))
+
+
 def stft_magnitude(
     audio: Array,
     size: int = 2048,
@@ -176,8 +205,7 @@ def stft_magnitude(
         frames = frame_signal(audio, size, hop_length, pad_end=False)
     else:
         frames = frame_signal(audio, size, hop_length, pad_end=pad_end)
-    spec = jnp.fft.rfft(frames * win, axis=-1)
-    mag = complex_magnitude(spec)
+    mag = _rfft_magnitude(frames * win, size)
     if normalized:
         mag = mag / np.sqrt(size).astype(np.float32)
     if not time_major:

@@ -1,6 +1,7 @@
 """STFT magnitude parity vs torch.stft (the reference's backend) on CPU."""
 
 import numpy as np
+import pytest
 import torch
 import jax
 import jax.numpy as jnp
@@ -102,3 +103,22 @@ def test_stft_jit_and_grad():
     eps = 1e-3
     fd = (fn(audio + eps * v) - fn(audio - eps * v)) / (2 * eps)
     np.testing.assert_allclose(np.sum(np.asarray(g) * v), fd, rtol=2e-2)
+
+
+@pytest.mark.parametrize("size", [64, 256, 2048])
+def test_dft_matmul_matches_rfft(size, monkeypatch):
+    """SOT_TPU_DFT_MATMUL=1 swaps the rfft for one MXU DFT matmul with
+    identical values and gradients (MSS hot-path alternative)."""
+    rng = np.random.default_rng(size)
+    audio = jnp.asarray(rng.standard_normal((2, 4096)).astype(np.float32))
+
+    def loss(a):
+        return jnp.sum(stft_magnitude(a, size=size, overlap=0.75) ** 2)
+
+    monkeypatch.delenv("SOT_TPU_DFT_MATMUL", raising=False)
+    base, gbase = jax.value_and_grad(loss)(audio)
+    monkeypatch.setenv("SOT_TPU_DFT_MATMUL", "1")
+    got, ggot = jax.value_and_grad(loss)(audio)
+    np.testing.assert_allclose(float(got), float(base), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(ggot), np.asarray(gbase),
+                               rtol=1e-4, atol=1e-4)
