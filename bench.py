@@ -9,18 +9,52 @@ Prints ONE JSON line:
 The reference publishes no throughput numbers (BASELINE.md), so vs_baseline
 is reported against a reference-stack measurement when available (torch CPU
 is not comparable; null otherwise).
+
+Kernel gates: env-gated alternative kernels (Pallas merge SOT, Pallas
+im2col conv, DFT-matmul rfft) are auto-enabled when their committed A/B
+(results/round2/*_ab.json, produced on this chip by the sweep prelude)
+shows a >3% win; explicit env settings take precedence, and a failed run
+with auto-gates falls back to the gate-free baseline.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
 
+_AB_GATES = (
+    # (ab json, baseline key, candidate key, env gate)
+    ("results/round2/sot_ab.json", "plane", "merge", "SOT_TPU_W2_MERGE"),
+    ("results/round2/conv_ab.json", "xla", "pallas", "SOT_TPU_CONV_PALLAS"),
+    ("results/round2/mss_ab.json", "fft", "dft_matmul", "SOT_TPU_DFT_MATMUL"),
+)
 
-def main() -> None:
+
+def _auto_gates() -> dict:
+    gates = {}
+
+    def total(d):
+        return d.get("fwd_ms", 1e9) + d.get("grad_ms", 1e9)
+
+    for path, base_key, cand_key, env in _AB_GATES:
+        if env in os.environ:
+            continue  # explicit setting wins
+        try:
+            ab = json.load(open(path))
+        except Exception:  # noqa: BLE001 — A/B not run yet
+            continue
+        cand, base = ab.get(cand_key, {}), ab.get(base_key, {})
+        if total(cand) < 0.97 * total(base):
+            gates[env] = "1"
+            if env == "SOT_TPU_W2_MERGE" and cand.get("rows"):
+                gates["SOT_TPU_MERGE_ROWS"] = str(cand["rows"])
+    return gates
+
+
+def _run_bench():
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
     from sot_tpu import data as data_lib
     from sot_tpu.configs import get_experiment
@@ -53,7 +87,7 @@ def main() -> None:
     frames_per_clip = cfg.n_samples // cfg.cqt_hop_length  # 16
     frames_per_sec = steps_per_sec * cfg.batch_size * frames_per_clip
 
-    result = {
+    return {
         "metric": "audio frames/sec/chip (SOT-2048 train step)",
         "value": round(frames_per_sec, 1),
         "unit": "frames/s/chip",
@@ -64,6 +98,21 @@ def main() -> None:
         "device": str(jax.devices()[0]),
         "final_loss": float(logs["loss/total"]),
     }
+
+
+def main() -> None:
+    gates = _auto_gates()
+    os.environ.update(gates)
+    try:
+        result = _run_bench()
+    except Exception:  # noqa: BLE001 — fall back to the gate-free baseline
+        if not gates:
+            raise
+        for k in gates:
+            os.environ.pop(k, None)
+        result = _run_bench()
+        gates = {"failed": list(gates)}
+    result["kernel_gates"] = gates
     print(json.dumps(result))
 
 
