@@ -573,7 +573,7 @@ def wasserstein_same_grid(
         dg = gaug[1:] - gaug[:-1]
         return jnp.sum(jnp.abs(alpha[:, :-1] - beta[:, :-1]) * dg[None, :], -1)
 
-    if p == 2.0 and _use_merge_kernel():
+    if p == 2.0 and _use_merge_kernel() and (_use_pallas() or _interpret()):
         # O(n log n) Pallas bitonic-merge coupling (ops/pallas/merge.py)
         from sot_tpu.ops.pallas.merge import sot_w2_merge
 
