@@ -109,11 +109,28 @@ def main() -> int:
         if rows_b:
             table_b[fam] = aggregate(rows_b)
 
-    with open(os.path.join(args.out, "synthetic_results_best-lsd.json"), "w") as fh:
-        json.dump(per_run, fh, indent=2)
+    # Outage insurance: if a family has NO completed round-2 runs in a
+    # column, surface the round-1 seed-42 point for it in a clearly
+    # separated fallback section (single seed, round-1 protocol — NOT
+    # mixed into the 5-seed mean/std tables above).
+    fallback = {}
+    try:
+        r1_fam = json.load(open("results/round1/family_sweep.json"))
+    except FileNotFoundError:
+        r1_fam = {}
+    for fam in FAMILIES:
+        if fam in table_a or fam not in r1_fam or "note" in r1_fam[fam]:
+            continue
+        fallback[fam] = rename_metrics(r1_fam[fam])
     out = {"reference_protocol": table_a, "best_recipe": table_b,
            "recipe_map": {k: "+".join(v) for k, v in BEST_RECIPE.items()},
+           "round1_seed42_fallback": fallback,
+           "fallback_note": "families with zero completed round-2 "
+           "reference-protocol runs, backfilled from the round-1 seed-42 "
+           "family sweep (single seed; kept out of the mean/std tables)",
            "missing_runs": missing}
+    with open(os.path.join(args.out, "synthetic_results_best-lsd.json"), "w") as fh:
+        json.dump(per_run, fh, indent=2)
     with open(os.path.join(args.out, "synthetic_results_paper_best-lsd.json"), "w") as fh:
         json.dump(out, fh, indent=2)
     lines = ["# column A: reference protocol (5 seeds/family)"]
