@@ -137,3 +137,41 @@ def test_merge_env_dispatch_matches_general(monkeypatch):
     new = wasserstein_same_grid(grid, u, v, p=2.0, limit_quantile_range=True)
     np.testing.assert_allclose(np.asarray(new), np.asarray(ref),
                                rtol=2e-4, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_merge_kernel_full_production_shape():
+    """Parity at the EXACT SOT-2048 training shape (rows = batch 64 x 16
+    frames = 1024, n_aug = 1026 -> m8 = 1032, M2 = 2048, L = 4096): the
+    small-shape cases above never exercise the production padding geometry
+    (sentinel region, 8-program row blocking) at full size."""
+    rng = np.random.default_rng(0)
+    rows, n = 1024, 1025
+
+    def cdfs(seed):
+        r = np.random.default_rng(seed)
+        w = r.random((rows, n)).astype(np.float32) ** 3
+        w *= r.random((rows, n)) < 0.2  # sparse-ish, like spectra
+        c = np.cumsum(w, axis=-1)
+        c /= np.maximum(c[:, -1:], 1e-9)
+        return np.minimum(c, 1.0)
+
+    U, V = cdfs(1), cdfs(2)
+    cap = np.maximum(U[:, -1], V[:, -1])[:, None].astype(np.float32)
+    alpha = jnp.asarray(np.concatenate([np.minimum(U, cap), cap], axis=-1))
+    beta = jnp.asarray(np.concatenate([np.minimum(V, cap), cap], axis=-1))
+    grid = np.linspace(0.0, 1.0, n).astype(np.float32)
+    gaug = jnp.asarray(np.concatenate([grid, grid[-1:]]))
+
+    from sot_tpu.ops.pallas.sot import _sot_w2_sortmerge
+
+    ref = _sot_w2_sortmerge(alpha, beta, gaug)
+    got = sot_w2_merge(alpha, beta, gaug)
+    scale = float(jnp.max(jnp.abs(ref))) + 1e-9
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-4 * scale)
+
+    gref = jax.grad(lambda b: jnp.sum(_sot_w2_sortmerge(alpha, b, gaug)))(beta)
+    gmer = jax.grad(lambda b: jnp.sum(sot_w2_merge(alpha, b, gaug)))(beta)
+    d = np.abs(np.asarray(gref - gmer))
+    assert float(np.mean(d > 1e-3)) < 0.01  # kink-bin allowance
