@@ -74,10 +74,16 @@ def main() -> None:
     ys = jax.random.normal(ky, (args.k, 64, 4096), jnp.float32)
     results = {"device": str(jax.devices()[0]), "batch": 64, "samples": 4096,
                "k": args.k, "iters": args.iters}
-    for variant in ("fft", "dft_matmul"):
+    # pallas = fused framing+window+DFT frontend on the hop>=128 scales
+    # (2048/1024/512; ops/pallas/stft.py), remaining scales on the XLA fft;
+    # pallas+dft additionally puts the small scales on the DFT matmul.
+    for variant in ("fft", "dft_matmul", "pallas", "pallas+dft"):
         os.environ.pop("SOT_TPU_DFT_MATMUL", None)
-        if variant == "dft_matmul":
+        os.environ.pop("SOT_TPU_STFT_PALLAS", None)
+        if "dft" in variant and variant != "pallas":
             os.environ["SOT_TPU_DFT_MATMUL"] = "1"
+        if variant.startswith("pallas"):
+            os.environ["SOT_TPU_STFT_PALLAS"] = "1"
         try:
             fwd, grad = make_fns()
             fwd_ms = time_call(fwd, xs, ys, args.iters)
@@ -91,6 +97,7 @@ def main() -> None:
         print(f"{variant:11s} fwd {fwd_ms:7.3f} ms  grad {grad_ms:7.3f} ms",
               flush=True)
     os.environ.pop("SOT_TPU_DFT_MATMUL", None)
+    os.environ.pop("SOT_TPU_STFT_PALLAS", None)
 
     os.makedirs("results/round2", exist_ok=True)
     with open("results/round2/mss_ab.json", "w") as f:

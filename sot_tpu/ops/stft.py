@@ -204,6 +204,22 @@ def stft_magnitude(
                         mode="reflect")
         frames = frame_signal(audio, size, hop_length, pad_end=False)
     else:
+        from sot_tpu.ops.pallas.stft import (frontend_applicable,
+                                             stft_frontend_projection)
+
+        if (audio.ndim == 2 and isinstance(win, np.ndarray)
+                and frontend_applicable(size, hop_length, audio.shape[-1],
+                                        pad_end, center)):
+            # fused Pallas framing+window+DFT projection (SOT_TPU_STFT_PALLAS)
+            proj = stft_frontend_projection(audio, size, hop_length,
+                                            tuple(win.tolist()))
+            n_bins = size // 2 + 1
+            mag = _complex_abs(proj[..., :n_bins], proj[..., n_bins:])
+            if normalized:
+                mag = mag / np.sqrt(size).astype(np.float32)
+            if not time_major:
+                mag = jnp.swapaxes(mag, -1, -2)
+            return mag[0] if squeeze else mag
         frames = frame_signal(audio, size, hop_length, pad_end=pad_end)
     mag = _rfft_magnitude(frames * win, size)
     if normalized:

@@ -1,0 +1,105 @@
+"""Parity tests for the fused Pallas STFT frontend (ops/pallas/stft.py).
+
+The fused framing+window+DFT kernel must reproduce the default XLA path of
+``stft_magnitude`` (itself torch.stft-parity-tested in tests/test_stft.py)
+in values and audio gradients at the shapes it dispatches on: the
+loss-domain STFT (2048/256 flattop) and the MSS 2048/1024/512 scales.
+Runs in Pallas interpreter mode on CPU.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sot_tpu.ops.stft import stft_magnitude
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode(monkeypatch):
+    monkeypatch.setenv("SOT_TPU_PALLAS_INTERPRET", "1")
+
+
+def _audio(b=3, t=4096, seed=0):
+    r = np.random.default_rng(seed)
+    f0 = r.uniform(100, 1800, (b, 1))
+    n = np.arange(t)[None, :]
+    x = np.sin(2 * np.pi * f0 * n / 16000.0)
+    x += 0.3 * np.sin(2 * np.pi * 2 * f0 * n / 16000.0)
+    return jnp.asarray(x, jnp.float32)
+
+
+CASES = [
+    (2048, 1 - 256 / 2048, "flattop"),  # loss-domain STFT (SOT-2048)
+    (2048, 0.75, None),                 # MSS scale 2048 (hann default)
+    (1024, 0.75, None),                 # MSS scale 1024
+    (512, 0.75, None),                  # MSS scale 512
+]
+
+
+@pytest.mark.parametrize("size,overlap,window", CASES)
+def test_fused_frontend_matches_xla(size, overlap, window, monkeypatch):
+    x = _audio()
+    ref = stft_magnitude(x, size=size, overlap=overlap, window=window)
+    monkeypatch.setenv("SOT_TPU_STFT_PALLAS", "1")
+    got = stft_magnitude(x, size=size, overlap=overlap, window=window)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("size,overlap,window", CASES[:2])
+def test_fused_frontend_grad_matches_xla(size, overlap, window, monkeypatch):
+    x = _audio(b=2)
+
+    def loss(a):
+        m = stft_magnitude(a, size=size, overlap=overlap, window=window)
+        # nonuniform cotangents through every frame/bin; |z|^2 keeps the
+        # comparison smooth at spectral zeros, where d|z| directions are
+        # legitimately fp-order-sensitive between the fft and matmul paths
+        w = jnp.arange(m.size, dtype=jnp.float32).reshape(m.shape)
+        return jnp.sum(m * m * jnp.sin(w))
+
+    gref = jax.grad(loss)(x)
+    monkeypatch.setenv("SOT_TPU_STFT_PALLAS", "1")
+    ggot = jax.grad(loss)(x)
+    scale = float(jnp.max(jnp.abs(gref))) + 1e-12
+    np.testing.assert_allclose(np.asarray(ggot), np.asarray(gref),
+                               atol=3e-5 * scale)
+
+
+def test_fused_frontend_dispatch_conditions(monkeypatch):
+    """Scales the kernel must NOT take: small hops (<128), center=True,
+    hop not dividing T — all fall back to the XLA path (identical output
+    whether the gate is set or not, trivially, because it's the same code
+    path; here we just assert the gated call still matches)."""
+    monkeypatch.setenv("SOT_TPU_STFT_PALLAS", "1")
+    x = _audio(b=2, t=4000)  # 4000 % 256 != 0 -> fallback
+    ref = stft_magnitude(x, size=1024, overlap=0.75)
+    monkeypatch.delenv("SOT_TPU_STFT_PALLAS")
+    np.testing.assert_allclose(
+        np.asarray(stft_magnitude(x, size=1024, overlap=0.75)),
+        np.asarray(ref), rtol=1e-6)
+    monkeypatch.setenv("SOT_TPU_STFT_PALLAS", "1")
+    for kwargs in (dict(size=256, overlap=0.75),       # hop 64 < 128
+                   dict(size=2048, overlap=0.875, center=True)):
+        y = _audio(b=2)
+        a = stft_magnitude(y, **kwargs)
+        monkeypatch.delenv("SOT_TPU_STFT_PALLAS")
+        b = stft_magnitude(y, **kwargs)
+        monkeypatch.setenv("SOT_TPU_STFT_PALLAS", "1")
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_fused_frontend_under_jit_and_mss_loss(monkeypatch):
+    """The dispatcher runs at trace time inside jit (numpy window key must
+    not touch tracers) and composes with MSSLoss end-to-end."""
+    from sot_tpu.losses import MSSLoss
+
+    monkeypatch.setenv("SOT_TPU_STFT_PALLAS", "1")
+    loss = MSSLoss(mag_weight=1.0, logmag_weight=1.0)
+    x, y = _audio(b=2, seed=1), _audio(b=2, seed=2)
+    got = jax.jit(lambda a, b: loss(a, b))(x, y)
+    monkeypatch.delenv("SOT_TPU_STFT_PALLAS")
+    ref = jax.jit(lambda a, b: loss(a, b))(x, y)
+    np.testing.assert_allclose(float(got), float(ref), rtol=1e-5)
