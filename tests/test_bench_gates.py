@@ -1,0 +1,77 @@
+"""bench.py kernel-gate auto-enable: the driver runs bench.py unattended at
+round end, so the gate-selection logic (pick committed A/B winners, explicit
+env precedence, best-of-N for the MSS variants) must be regression-tested."""
+
+import importlib.util
+import json
+import os
+
+import pytest
+
+
+@pytest.fixture()
+def bench(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    (tmp_path / "results" / "round2").mkdir(parents=True)
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod", os.path.join(os.path.dirname(__file__), "..", "bench.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _write(name, payload):
+    with open(os.path.join("results", "round2", name), "w") as fh:
+        json.dump(payload, fh)
+
+
+def test_no_ab_files_no_gates(bench):
+    assert bench._auto_gates() == {}
+
+
+def test_winner_enabled_with_merge_rows(bench):
+    _write("sot_ab.json", {"plane": {"fwd_ms": 2.0, "grad_ms": 3.0},
+                           "merge": {"fwd_ms": 1.0, "grad_ms": 1.0,
+                                     "rows": 64}})
+    assert bench._auto_gates() == {"SOT_TPU_W2_MERGE": "1",
+                                   "SOT_TPU_MERGE_ROWS": "64"}
+
+
+def test_loser_and_errored_candidates_stay_off(bench):
+    _write("sot_ab.json", {"plane": {"fwd_ms": 1.0, "grad_ms": 1.0},
+                           "merge": {"fwd_ms": 2.0, "grad_ms": 2.0}})
+    _write("conv_ab.json", {"xla": {"fwd_ms": 1.0, "grad_ms": 1.0},
+                            "pallas": {"error": "Mosaic rejected"}})
+    assert bench._auto_gates() == {}
+
+
+def test_mss_best_of_three_variants(bench):
+    _write("mss_ab.json", {
+        "fft": {"fwd_ms": 1.0, "grad_ms": 1.0},
+        "dft_matmul": {"fwd_ms": 0.8, "grad_ms": 0.9},
+        "pallas": {"fwd_ms": 0.7, "grad_ms": 0.8},
+        "pallas+dft": {"fwd_ms": 0.6, "grad_ms": 0.7}})
+    assert bench._auto_gates() == {"SOT_TPU_STFT_PALLAS": "1",
+                                   "SOT_TPU_DFT_MATMUL": "1"}
+
+
+def test_mss_near_tie_keeps_baseline(bench):
+    # <3% win is within bench noise: stay on the default path
+    _write("mss_ab.json", {
+        "fft": {"fwd_ms": 1.0, "grad_ms": 1.0},
+        "dft_matmul": {"fwd_ms": 0.99, "grad_ms": 0.99}})
+    assert bench._auto_gates() == {}
+
+
+def test_explicit_env_wins(bench, monkeypatch):
+    _write("mss_ab.json", {
+        "fft": {"fwd_ms": 1.0, "grad_ms": 1.0},
+        "dft_matmul": {"fwd_ms": 0.5, "grad_ms": 0.5},
+        "pallas": {"fwd_ms": 0.2, "grad_ms": 0.2},
+        "pallas+dft": {"fwd_ms": 0.1, "grad_ms": 0.1}})
+    # user pinned the DFT gate (off or on — either way it is theirs):
+    # candidates touching it are excluded, best remaining still wins
+    monkeypatch.setenv("SOT_TPU_DFT_MATMUL", "")
+    assert bench._auto_gates() == {"SOT_TPU_STFT_PALLAS": "1"}
+    monkeypatch.setenv("SOT_TPU_STFT_PALLAS", "")
+    assert bench._auto_gates() == {}
