@@ -2,25 +2,43 @@
 task 6: the profile that justifies what gets built next).
 
 Runs the bench.py train-step loop under jax.profiler, prints the per-op
-device-time table (ms/step) plus the step total. Optionally profiles with
-the merge kernel enabled (SOT_TPU_W2_MERGE=1 is read at trace time, so set
-it in the environment before running).
+device-time table (ms/step) plus the step total. Adopts the committed A/B
+kernel-gate winners exactly like bench.py (explicit env settings win), so
+the committed profile reflects the shipped configuration; pass
+--no-auto-gates for the gate-free baseline step.
 
-Usage: python scripts/profile_step.py [--steps 20]
+Usage: python scripts/profile_step.py [--steps 20] [--no-auto-gates]
 """
 
 from __future__ import annotations
 
 import argparse
+import importlib.util
 import os
 import tempfile
 import time
 
 
+def _apply_auto_gates() -> dict:
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "bench.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    gates = mod._auto_gates()
+    os.environ.update(gates)
+    return gates
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--no-auto-gates", action="store_true")
     args = ap.parse_args()
+
+    gates = {} if args.no_auto_gates else _apply_auto_gates()
+    print(f"# kernel gates: {gates}")
 
     import jax
     import jax.numpy as jnp
