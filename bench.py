@@ -23,50 +23,10 @@ import json
 import os
 import time
 
-_AB_GATES = (
-    # (ab json, baseline key, candidate key, env gates for the candidate)
-    ("results/round2/sot_ab.json", "plane", "merge", ("SOT_TPU_W2_MERGE",)),
-    ("results/round2/conv_ab.json", "xla", "pallas",
-     ("SOT_TPU_CONV_PALLAS",)),
-    # MSS rfft path: candidates are mutually exclusive recipes; the best
-    # total wins (pallas = fused frontend on the hop>=128 scales)
-    ("results/round2/mss_ab.json", "fft", "dft_matmul",
-     ("SOT_TPU_DFT_MATMUL",)),
-    ("results/round2/mss_ab.json", "fft", "pallas",
-     ("SOT_TPU_STFT_PALLAS",)),
-    ("results/round2/mss_ab.json", "fft", "pallas+dft",
-     ("SOT_TPU_STFT_PALLAS", "SOT_TPU_DFT_MATMUL")),
-)
-
-
 def _auto_gates() -> dict:
-    gates = {}
-    best_mss = (None, 1e9)  # (env tuple, total) across the mss candidates
+    from sot_tpu.kernel_gates import auto_gates
 
-    def total(d):
-        return d.get("fwd_ms", 1e9) + d.get("grad_ms", 1e9)
-
-    for path, base_key, cand_key, envs in _AB_GATES:
-        if any(env in os.environ for env in envs):
-            continue  # explicit setting wins
-        try:
-            ab = json.load(open(path))
-        except Exception:  # noqa: BLE001 — A/B not run yet
-            continue
-        cand, base = ab.get(cand_key, {}), ab.get(base_key, {})
-        if total(cand) < 0.97 * total(base):
-            if path.endswith("mss_ab.json"):
-                if total(cand) < best_mss[1]:
-                    best_mss = (envs, total(cand))
-                continue
-            for env in envs:
-                gates[env] = "1"
-            if "SOT_TPU_W2_MERGE" in envs and cand.get("rows"):
-                gates["SOT_TPU_MERGE_ROWS"] = str(cand["rows"])
-    if best_mss[0]:
-        for env in best_mss[0]:
-            gates[env] = "1"
-    return gates
+    return auto_gates("results/round2")
 
 
 def _run_bench():

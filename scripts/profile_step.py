@@ -13,22 +13,20 @@ Usage: python scripts/profile_step.py [--steps 20] [--no-auto-gates]
 from __future__ import annotations
 
 import argparse
-import importlib.util
+
 import os
 import tempfile
 import time
 
 
 def _apply_auto_gates() -> dict:
-    spec = importlib.util.spec_from_file_location(
-        "bench_mod",
-        os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "bench.py"))
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
-    gates = mod._auto_gates()
-    os.environ.update(gates)
-    return gates
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from sot_tpu.kernel_gates import apply_auto_gates
+
+    return apply_auto_gates()
 
 
 def main() -> None:

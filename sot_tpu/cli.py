@@ -126,6 +126,14 @@ def cmd_train(args: argparse.Namespace) -> int:
     overrides.update(_parse_set_overrides(args.set))
     cfg = get_experiment(experiment, **overrides)
 
+    if args.kernels == "auto":
+        # adopt the committed on-chip A/B winners (semantics-preserving
+        # speed variants; read from env at trace time by the dispatchers)
+        from sot_tpu.kernel_gates import apply_auto_gates
+
+        applied = apply_auto_gates()
+        print(f"kernel gates (auto): {applied}")
+
     out = args.out or f"runs/{cfg.name}-{cfg.seed}"
     os.makedirs(out, exist_ok=True)
     _save_resolved_config(cfg, out)
@@ -334,6 +342,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "'configs:' list inside expands to more files)")
     t.add_argument("--set", action="append", default=None, metavar="KEY=VAL",
                    help="generic config field override (repeatable)")
+    t.add_argument("--kernels", default="default",
+                   choices=("default", "auto"),
+                   help="'auto' adopts the committed A/B kernel-gate "
+                        "winners (results/round2/*_ab.json) for this run; "
+                        "default keeps the baseline kernels")
     t.add_argument("--figures", action="store_true",
                    help="write spectrum/probability figures each eval epoch")
     t.add_argument("--profile", action="store_true",

@@ -1,6 +1,8 @@
-"""bench.py kernel-gate auto-enable: the driver runs bench.py unattended at
-round end, so the gate-selection logic (pick committed A/B winners, explicit
-env precedence, best-of-N for the MSS variants) must be regression-tested."""
+"""Kernel-gate auto-enable (sot_tpu/kernel_gates.py): bench.py, the profile
+script, and `cli train --kernels auto` all pick the shipped kernel config
+through this logic unattended, so it must be regression-tested: committed
+A/B winners enabled, explicit env precedence, best-of-N for the MSS
+variants, errored/losing candidates stay off."""
 
 import importlib.util
 import json
@@ -8,16 +10,13 @@ import os
 
 import pytest
 
+from sot_tpu.kernel_gates import auto_gates
 
-@pytest.fixture()
-def bench(tmp_path, monkeypatch):
+
+@pytest.fixture(autouse=True)
+def _tmp_results(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     (tmp_path / "results" / "round2").mkdir(parents=True)
-    spec = importlib.util.spec_from_file_location(
-        "bench_mod", os.path.join(os.path.dirname(__file__), "..", "bench.py"))
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
-    return mod
 
 
 def _write(name, payload):
@@ -25,45 +24,45 @@ def _write(name, payload):
         json.dump(payload, fh)
 
 
-def test_no_ab_files_no_gates(bench):
-    assert bench._auto_gates() == {}
+def test_no_ab_files_no_gates():
+    assert auto_gates() == {}
 
 
-def test_winner_enabled_with_merge_rows(bench):
+def test_winner_enabled_with_merge_rows():
     _write("sot_ab.json", {"plane": {"fwd_ms": 2.0, "grad_ms": 3.0},
                            "merge": {"fwd_ms": 1.0, "grad_ms": 1.0,
                                      "rows": 64}})
-    assert bench._auto_gates() == {"SOT_TPU_W2_MERGE": "1",
-                                   "SOT_TPU_MERGE_ROWS": "64"}
+    assert auto_gates() == {"SOT_TPU_W2_MERGE": "1",
+                            "SOT_TPU_MERGE_ROWS": "64"}
 
 
-def test_loser_and_errored_candidates_stay_off(bench):
+def test_loser_and_errored_candidates_stay_off():
     _write("sot_ab.json", {"plane": {"fwd_ms": 1.0, "grad_ms": 1.0},
                            "merge": {"fwd_ms": 2.0, "grad_ms": 2.0}})
     _write("conv_ab.json", {"xla": {"fwd_ms": 1.0, "grad_ms": 1.0},
                             "pallas": {"error": "Mosaic rejected"}})
-    assert bench._auto_gates() == {}
+    assert auto_gates() == {}
 
 
-def test_mss_best_of_three_variants(bench):
+def test_mss_best_of_three_variants():
     _write("mss_ab.json", {
         "fft": {"fwd_ms": 1.0, "grad_ms": 1.0},
         "dft_matmul": {"fwd_ms": 0.8, "grad_ms": 0.9},
         "pallas": {"fwd_ms": 0.7, "grad_ms": 0.8},
         "pallas+dft": {"fwd_ms": 0.6, "grad_ms": 0.7}})
-    assert bench._auto_gates() == {"SOT_TPU_STFT_PALLAS": "1",
-                                   "SOT_TPU_DFT_MATMUL": "1"}
+    assert auto_gates() == {"SOT_TPU_STFT_PALLAS": "1",
+                            "SOT_TPU_DFT_MATMUL": "1"}
 
 
-def test_mss_near_tie_keeps_baseline(bench):
+def test_mss_near_tie_keeps_baseline():
     # <3% win is within bench noise: stay on the default path
     _write("mss_ab.json", {
         "fft": {"fwd_ms": 1.0, "grad_ms": 1.0},
         "dft_matmul": {"fwd_ms": 0.99, "grad_ms": 0.99}})
-    assert bench._auto_gates() == {}
+    assert auto_gates() == {}
 
 
-def test_explicit_env_wins(bench, monkeypatch):
+def test_explicit_env_wins(monkeypatch):
     _write("mss_ab.json", {
         "fft": {"fwd_ms": 1.0, "grad_ms": 1.0},
         "dft_matmul": {"fwd_ms": 0.5, "grad_ms": 0.5},
@@ -72,6 +71,16 @@ def test_explicit_env_wins(bench, monkeypatch):
     # user pinned the DFT gate (off or on — either way it is theirs):
     # candidates touching it are excluded, best remaining still wins
     monkeypatch.setenv("SOT_TPU_DFT_MATMUL", "")
-    assert bench._auto_gates() == {"SOT_TPU_STFT_PALLAS": "1"}
+    assert auto_gates() == {"SOT_TPU_STFT_PALLAS": "1"}
     monkeypatch.setenv("SOT_TPU_STFT_PALLAS", "")
-    assert bench._auto_gates() == {}
+    assert auto_gates() == {}
+
+
+def test_bench_delegates_to_kernel_gates():
+    _write("sot_ab.json", {"plane": {"fwd_ms": 2.0, "grad_ms": 3.0},
+                           "merge": {"fwd_ms": 1.0, "grad_ms": 1.0}})
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod", os.path.join(os.path.dirname(__file__), "..", "bench.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert mod._auto_gates() == {"SOT_TPU_W2_MERGE": "1"}
