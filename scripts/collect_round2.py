@@ -122,12 +122,32 @@ def main() -> int:
         if fam in table_a or fam not in r1_fam or "note" in r1_fam[fam]:
             continue
         fallback[fam] = rename_metrics(r1_fam[fam])
+    # Provisional cells: CPU evals of surviving round-1 checkpoints placed
+    # under runs/round2/provisional/<FAM>-<seed>/ during the tunnel outage
+    # (e.g. the SS 40k anneal extension standing in for the queued 50k
+    # run). Reported separately; never mixed into the mean/std tables, and
+    # the sweep queue does not treat them as done-markers.
+    provisional = {}
+    for d in sorted(glob.glob(f"{args.runs}/provisional/*")):
+        name = os.path.basename(d)
+        fam = name.rsplit("-", 1)[0]
+        variant = BEST_RECIPE.get(fam, ("ref", "plain"))[1]
+        row = read_run(d, variant)
+        if row is not None:
+            src = ""
+            try:
+                src = open(os.path.join(d, "source_ckpt.txt")).read().strip()
+            except OSError:
+                pass
+            provisional[name] = {**row, "variant": variant, "source": src}
+
     out = {"reference_protocol": table_a, "best_recipe": table_b,
            "recipe_map": {k: "+".join(v) for k, v in BEST_RECIPE.items()},
            "round1_seed42_fallback": fallback,
            "fallback_note": "families with zero completed round-2 "
            "reference-protocol runs, backfilled from the round-1 seed-42 "
            "family sweep (single seed; kept out of the mean/std tables)",
+           "provisional_best_recipe": provisional,
            "missing_runs": missing}
     with open(os.path.join(args.out, "synthetic_results_best-lsd.json"), "w") as fh:
         json.dump(per_run, fh, indent=2)
