@@ -141,8 +141,16 @@ queue_seed() {
   else
     train_one "best/SOT-512-$seed" SOT-512 "$seed" "${ANNEAL1500[@]}"
   fi
-  train_one "best/SOT-2048-SS-$seed" SOT-2048-SS "$seed" \
-    --steps 50000 "${ANNEAL1500[@]}"
+  if [ "$seed" = 42 ] && [ -d runs/tricks/sot2048ss-anneal-42-ext/checkpoints/last ]; then
+    # same config+recipe already trained to 40k in round 1: resume the
+    # last 10k instead of burning ~17 min of tunnel time on a fresh 50k
+    train_one "best/SOT-2048-SS-42" SOT-2048-SS 42 \
+      --steps 50000 "${ANNEAL1500[@]}" \
+      --resume runs/tricks/sot2048ss-anneal-42-ext/checkpoints/last
+  else
+    train_one "best/SOT-2048-SS-$seed" SOT-2048-SS "$seed" \
+      --steps 50000 "${ANNEAL1500[@]}"
+  fi
   train_one "ref/MSS-Lin-$seed"    MSS-Lin    "$seed"
   train_one "ref/MSS-LogLin-$seed" MSS-LogLin "$seed"
 }
