@@ -103,3 +103,20 @@ def test_fused_frontend_under_jit_and_mss_loss(monkeypatch):
     monkeypatch.delenv("SOT_TPU_STFT_PALLAS")
     ref = jax.jit(lambda a, b: loss(a, b))(x, y)
     np.testing.assert_allclose(float(got), float(ref), rtol=1e-5)
+
+
+@pytest.mark.parametrize("size,overlap,window", [
+    (2048, 1 - 256 / 2048, "flattop"),  # rows = 64*16 = 1024: TWO row tiles
+    (512, 0.75, None),                  # rows = 64*32 = 2048: FOUR row tiles
+])
+def test_fused_frontend_full_batch_multi_row_tiles(size, overlap, window,
+                                                   monkeypatch):
+    """Production batch (64 clips): rows > _ROW_TILE exercises the i > 0
+    row-tile path (slab slicing at a nonzero tile offset + the tile-local
+    pad mask), which the small-batch cases above never reach."""
+    x = _audio(b=64, seed=3)
+    ref = stft_magnitude(x, size=size, overlap=overlap, window=window)
+    monkeypatch.setenv("SOT_TPU_STFT_PALLAS", "1")
+    got = stft_magnitude(x, size=size, overlap=overlap, window=window)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
