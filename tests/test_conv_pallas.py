@@ -36,6 +36,7 @@ SHAPES = [
     (8, 128, 4, 4, 15),     # width an exact lane multiple (wrap guard)
     (5, 33, 3, 7, 5),       # small odd k, row pad (5 -> 8)
     (1, 285, 2, 3, 1),      # k=1 degenerate
+    (24, 285, 4, 8, 15),    # rows > _ROW_TILE: THREE row programs
 ]
 
 
