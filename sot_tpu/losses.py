@@ -125,10 +125,10 @@ class Wasserstein1D:
         # log-scaled positions can be non-monotone at bin 0 (hz_to_midi
         # maps 0 Hz to MIDI 0 above bin 1's negative MIDI for fine
         # rfft grids), in which case we keep the general sorting path.
-        import os
+        from sot_tpu.ops.numerics import env_flag
 
         same_grid = (x_pos is y_pos and getattr(x_pos, "ndim", 0) == 1
-                     and not os.environ.get("SOT_TPU_FORCE_GENERAL"))
+                     and not env_flag("SOT_TPU_FORCE_GENERAL"))
         if same_grid:
             import jax.core
 

@@ -115,13 +115,13 @@ class ToeplitzLinear(nn.Module):
 
 
 def _use_pallas_conv(kernel_size: int, padding: int) -> bool:
-    import os
-
     if kernel_size <= 1 or padding != (kernel_size - 1) // 2:
         return False
-    if not os.environ.get("SOT_TPU_CONV_PALLAS"):
+    from sot_tpu.ops.numerics import env_flag
+
+    if not env_flag("SOT_TPU_CONV_PALLAS"):
         return False
-    if os.environ.get("SOT_TPU_PALLAS_INTERPRET"):
+    if env_flag("SOT_TPU_PALLAS_INTERPRET"):
         return True
     try:
         return jax.default_backend() == "tpu"

@@ -176,3 +176,14 @@ def get_fn_by_name(name: Optional[Union[str, Callable]], **kwargs) -> Optional[C
     if name is None:
         return None
     raise ValueError(f"Unknown scaling function: {name}")
+
+
+def env_flag(name: str) -> bool:
+    """Boolean env gate: unset/''/'0'/'false'/'off'/'no' are OFF.
+
+    The kernel gates are flipped programmatically (sot_tpu.kernel_gates
+    writes '1') but users export them by hand; GATE=0 must mean off."""
+    import os
+
+    return os.environ.get(name, "").strip().lower() not in (
+        "", "0", "false", "off", "no")

@@ -226,7 +226,9 @@ def _pad_rows_cols(x: Array, rows_p: int, n_p: int) -> Array:
 
 
 def _interpret() -> bool:
-    return bool(os.environ.get("SOT_TPU_PALLAS_INTERPRET"))
+    from sot_tpu.ops.numerics import env_flag
+
+    return env_flag("SOT_TPU_PALLAS_INTERPRET")
 
 
 def _prep(alpha, beta, rows_p, n_p):
@@ -419,7 +421,9 @@ _sot_bilinear_pallas_target_const.defvjp(_sot_fwd_tc, _sot_bwd_tc)
 
 
 def _use_pallas() -> bool:
-    if os.environ.get("SOT_TPU_DISABLE_PALLAS"):
+    from sot_tpu.ops.numerics import env_flag
+
+    if env_flag("SOT_TPU_DISABLE_PALLAS"):
         return False
     try:
         return jax.default_backend() == "tpu"
@@ -512,11 +516,15 @@ def _sot_w2_sortmerge(alpha: Array, beta: Array, g: Array) -> Array:
 
 
 def _use_sortmerge() -> bool:
-    return bool(os.environ.get("SOT_TPU_W2_SORTMERGE"))
+    from sot_tpu.ops.numerics import env_flag
+
+    return env_flag("SOT_TPU_W2_SORTMERGE")
 
 
 def _use_merge_kernel() -> bool:
-    return bool(os.environ.get("SOT_TPU_W2_MERGE"))
+    from sot_tpu.ops.numerics import env_flag
+
+    return env_flag("SOT_TPU_W2_MERGE")
 
 
 # ---------------------------------------------------------------------------

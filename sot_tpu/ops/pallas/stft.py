@@ -167,9 +167,9 @@ stft_frontend_projection.defvjp(_frontend_fwd, _frontend_bwd)
 
 def frontend_applicable(size: int, hop_length: int, t: int,
                         pad_end: bool, center: bool) -> bool:
-    import os
+    from sot_tpu.ops.numerics import env_flag
 
-    if not os.environ.get("SOT_TPU_STFT_PALLAS"):
+    if not env_flag("SOT_TPU_STFT_PALLAS"):
         return False
     if pl is None or center or not pad_end:
         return False

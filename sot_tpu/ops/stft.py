@@ -146,9 +146,9 @@ def _dft_matrix(n_fft: int) -> np.ndarray:
 
 
 def _use_dft_matmul(n_fft: int) -> bool:
-    import os
+    from sot_tpu.ops.numerics import env_flag
 
-    return bool(os.environ.get("SOT_TPU_DFT_MATMUL")) and n_fft <= 4096
+    return env_flag("SOT_TPU_DFT_MATMUL") and n_fft <= 4096
 
 
 def _rfft_magnitude(frames: Array, n_fft: int) -> Array:
