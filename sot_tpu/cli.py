@@ -261,6 +261,78 @@ def cmd_evaluate(args: argparse.Namespace) -> int:
     return 0
 
 
+def _load_audio(path: str):
+    import numpy as np
+
+    if path.endswith(".npz"):
+        with np.load(path) as z:
+            key = "signals" if "signals" in z.files else z.files[0]
+            x = z[key]
+    else:
+        x = np.load(path)
+    x = np.asarray(x, np.float32)
+    if x.ndim == 1:
+        x = x[None]
+    if x.ndim != 2:
+        raise SystemExit(f"expected [T] or [batch, T] audio, got {x.shape}")
+    return x
+
+
+def cmd_predict(args: argparse.Namespace) -> int:
+    """Batch inference: pitch + harmonic amplitudes for audio clips.
+
+    The serving-side entry the reference lacks: loads a checkpoint (with
+    its travelling config), applies the config-gated unsupervised
+    correction (`inference_comb_correction` / `inference_octave_correction`,
+    enable via --set), and writes per-frame pitch_hz / pitch_unit /
+    harmonic weights as .npz or prints pitch_hz as JSON."""
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sot_tpu import data as data_lib
+    from sot_tpu.training import checkpoint as ckpt_lib
+    from sot_tpu.training.trainer import build_modules, init_state, predict
+
+    cfg = _config_for_ckpt(args)
+    mod = build_modules(cfg)
+    state = init_state(mod, jax.random.key(0))
+    if args.ckpt:
+        state, _ = ckpt_lib.restore(args.ckpt, state)
+
+    x = _load_audio(args.input)
+    if not args.no_normalize:
+        # the model is trained on peak-normalized clips (data.py x0.9)
+        x = data_lib.peak_normalize(x)
+    x = jnp.asarray(x, jnp.float32)
+
+    fn = jax.jit(partial(predict, mod))
+    bs = cfg.batch_size
+    n = x.shape[0]
+    pad = (-n) % bs
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros((pad, x.shape[1]), x.dtype)])
+    keep = ("pitch_hz", "pitch_unit", "weights")
+    chunks = []
+    for i in range(0, x.shape[0], bs):
+        out = fn(state.params, x[i:i + bs])
+        chunks.append({k: np.asarray(v) for k, v in out.items() if k in keep})
+    res = {k: np.concatenate([c[k] for c in chunks])[:n].squeeze(-1)
+           if k != "weights" else np.concatenate([c[k] for c in chunks])[:n]
+           for k in chunks[0]}
+    if args.output:
+        os.makedirs(os.path.dirname(os.path.abspath(args.output)),
+                    exist_ok=True)
+        np.savez(args.output, **res)
+        print(f"wrote {args.output}: " + ", ".join(
+            f"{k} {tuple(v.shape)}" for k, v in sorted(res.items())))
+    else:
+        print(json.dumps({"pitch_hz": res["pitch_hz"].tolist()}))
+    return 0
+
+
 def cmd_generate_data(args: argparse.Namespace) -> int:
     import numpy as np
 
@@ -366,6 +438,22 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--split", default="test", choices=("train", "val", "test"))
     e.add_argument("--set", action="append", default=None, metavar="KEY=VAL")
     e.set_defaults(fn=cmd_evaluate)
+
+    pr = sub.add_parser("predict", help="batch inference on audio clips")
+    pr.add_argument("--experiment", default="SOT-2048", choices=sorted(EXPERIMENTS))
+    pr.add_argument("--ckpt", required=True)
+    pr.add_argument("--input", required=True,
+                   help=".npy [T] or [batch, T] float audio @ the model's "
+                        "sample rate, or .npz with a 'signals' array")
+    pr.add_argument("--output", default=None,
+                   help="write pitch_hz/pitch_unit/weights as .npz "
+                        "(default: print pitch_hz JSON to stdout)")
+    pr.add_argument("--no-normalize", action="store_true",
+                   help="skip the training-matching peak normalization")
+    pr.add_argument("--dataset", default=None, help=argparse.SUPPRESS)
+    pr.add_argument("--set", action="append", default=None, metavar="KEY=VAL",
+                   help="config overrides, e.g. inference_comb_correction=true")
+    pr.set_defaults(fn=cmd_predict)
 
     g = sub.add_parser("generate-data", help="generate the synthetic dataset")
     g.add_argument("--out", default="data/sinusoids.npz")

@@ -91,3 +91,34 @@ def test_evaluate_and_analyze(run_dir, capsys):
     rep_c = json.loads(capsys.readouterr().out)
     assert 0.0 <= rep_c["rpa"] <= 1.0
     assert rep_c["clip_failures"]["n_clips"] == rep["clip_failures"]["n_clips"]
+
+
+def test_predict(run_dir, tmp_path, capsys):
+    """Serving entry: batch inference from an .npy, both output modes,
+    with the comb correction enabled via --set."""
+    from sot_tpu import data as D
+    from sot_tpu.cli import main
+
+    sig, _, _ = D.generate_sinusoid_dataset(seed=5, size=6, n_samples=1024,
+                                            render_batch=6)
+    inp = str(tmp_path / "audio.npy")
+    np.save(inp, np.asarray(sig))
+    outp = str(tmp_path / "pred.npz")
+
+    rc = main(["predict", "--ckpt", os.path.join(run_dir, "checkpoints",
+                                                 "best-lsd"),
+               "--input", inp, "--output", outp,
+               "--set", "inference_comb_correction=true"])
+    assert rc == 0
+    z = np.load(outp)
+    assert z["pitch_hz"].shape[0] == 6 and z["pitch_hz"].ndim == 2
+    assert z["weights"].shape[:2] == z["pitch_hz"].shape
+    assert np.isfinite(z["pitch_hz"]).all() and (z["pitch_hz"] > 0).all()
+    capsys.readouterr()
+
+    rc = main(["predict", "--ckpt", os.path.join(run_dir, "checkpoints",
+                                                 "best-lsd"),
+               "--input", inp])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert len(out["pitch_hz"]) == 6
