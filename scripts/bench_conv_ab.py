@@ -94,11 +94,10 @@ def main() -> None:
                             "grad_ms": round(grad_ms, 3)}
         print(f"{variant:7s} fwd {fwd_ms:7.3f} ms  grad {grad_ms:7.3f} ms",
               flush=True)
+        os.makedirs("results/round2", exist_ok=True)
+        with open("results/round2/conv_ab.json", "w") as f:
+            json.dump(results, f, indent=1)
     os.environ.pop("SOT_TPU_CONV_PALLAS", None)
-
-    os.makedirs("results/round2", exist_ok=True)
-    with open("results/round2/conv_ab.json", "w") as f:
-        json.dump(results, f, indent=1)
     print(json.dumps(results))
 
 

@@ -96,12 +96,11 @@ def main() -> None:
                             "grad_ms": round(grad_ms, 3)}
         print(f"{variant:11s} fwd {fwd_ms:7.3f} ms  grad {grad_ms:7.3f} ms",
               flush=True)
+        os.makedirs("results/round2", exist_ok=True)
+        with open("results/round2/mss_ab.json", "w") as f:
+            json.dump(results, f, indent=1)
     os.environ.pop("SOT_TPU_DFT_MATMUL", None)
     os.environ.pop("SOT_TPU_STFT_PALLAS", None)
-
-    os.makedirs("results/round2", exist_ok=True)
-    with open("results/round2/mss_ab.json", "w") as f:
-        json.dump(results, f, indent=1)
     print(json.dumps(results))
 
 

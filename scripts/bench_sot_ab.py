@@ -138,10 +138,12 @@ def main() -> None:
                   + (f"  (rows={rows})" if rows else ""), flush=True)
             break
         os.environ.pop("SOT_TPU_MERGE_ROWS", None)
+        # incremental write: a timeout mid-variant must not lose the
+        # numbers already measured (the file is the bench-gate artifact)
+        os.makedirs("results/round2", exist_ok=True)
+        with open("results/round2/sot_ab.json", "w") as f:
+            json.dump(results, f, indent=1)
 
-    os.makedirs("results/round2", exist_ok=True)
-    with open("results/round2/sot_ab.json", "w") as f:
-        json.dump(results, f, indent=1)
     print(json.dumps(results))
 
 
