@@ -28,4 +28,4 @@ Layer map (mirrors SURVEY.md section 1):
   parallel/      —   mesh + sharded ops
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
