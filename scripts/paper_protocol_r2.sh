@@ -11,6 +11,7 @@
 set -u
 cd /root/repo
 export JAX_COMPILATION_CACHE_DIR=/root/repo/.jax_cache
+export PYTHONPATH=/root/repo${PYTHONPATH:+:$PYTHONPATH}
 mkdir -p runs/round2/ref runs/round2/best results/round2
 
 stop_check() { [ -f runs/round2/STOP ] && { echo "STOP file present, exiting"; exit 0; }; }
