@@ -20,6 +20,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+print(f"# exe={sys.executable} cwd={os.getcwd()} file={__file__}",
+      file=sys.stderr, flush=True)
+
 
 def make_fns():
     import jax
@@ -101,6 +104,10 @@ def main() -> None:
         with open("results/round2/conv_ab.json", "w") as f:
             json.dump(results, f, indent=1)
     os.environ.pop("SOT_TPU_CONV_PALLAS", None)
+    results["complete"] = True
+    os.makedirs("results/round2", exist_ok=True)
+    with open("results/round2/conv_ab.json", "w") as f:
+        json.dump(results, f, indent=1)
     print(json.dumps(results))
 
 

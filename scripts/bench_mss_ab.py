@@ -20,6 +20,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+print(f"# exe={sys.executable} cwd={os.getcwd()} file={__file__}",
+      file=sys.stderr, flush=True)
+
 
 def make_fns():
     import jax
@@ -104,6 +107,10 @@ def main() -> None:
             json.dump(results, f, indent=1)
     os.environ.pop("SOT_TPU_DFT_MATMUL", None)
     os.environ.pop("SOT_TPU_STFT_PALLAS", None)
+    results["complete"] = True
+    os.makedirs("results/round2", exist_ok=True)
+    with open("results/round2/mss_ab.json", "w") as f:
+        json.dump(results, f, indent=1)
     print(json.dumps(results))
 
 

@@ -28,6 +28,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Startup diagnostics (round-2 postmortem: an unattended run failed with
+# ModuleNotFoundError that was unreproducible later; log enough to diagnose
+# the next one).
+print(f"# exe={sys.executable} cwd={os.getcwd()} file={__file__}",
+      file=sys.stderr, flush=True)
+
 
 def build_data(k: int):
     import jax.numpy as jnp
@@ -147,6 +153,12 @@ def main() -> None:
         with open("results/round2/sot_ab.json", "w") as f:
             json.dump(results, f, indent=1)
 
+    # Completeness flag: the queue's done-marker requires this, so a
+    # timeout mid-variant can never permanently satisfy the gate (round-2
+    # postmortem: a partial file with only 'plane' blocked the merge A/B).
+    results["complete"] = True
+    with open("results/round2/sot_ab.json", "w") as f:
+        json.dump(results, f, indent=1)
     print(json.dumps(results))
 
 

@@ -54,11 +54,29 @@ _VARIANT_FILES = {"plain": "test_metrics.json",
                   "comb": "test_metrics_comb.json"}
 
 
-def read_run(path: str, variant: str):
-    fp = os.path.join(path, _VARIANT_FILES[variant])
-    if not os.path.exists(fp):
-        return None
-    return rename_metrics(json.load(open(fp))["test_metrics"])
+def read_run(roots, rel: str, variant: str):
+    """Metrics for run ``rel`` from the first root that has them.
+
+    Roots are searched in order: the live ``runs/round2`` tree first, then
+    the git-committed mirror ``results/round2/runs`` (written by
+    ``paper_protocol_r2.sh:persist_run``). The mirror makes collection
+    merge-with-committed: a container wipe of gitignored ``runs/`` can no
+    longer regress the table (round-2 postmortem)."""
+    for root in roots:
+        fp = os.path.join(root, rel, _VARIANT_FILES[variant])
+        if os.path.exists(fp):
+            return rename_metrics(json.load(open(fp))["test_metrics"])
+    return None
+
+
+def list_rel(roots, pattern: str):
+    """Sorted union of run-dir paths matching ``pattern`` across roots,
+    relative to their root."""
+    rels = set()
+    for root in roots:
+        for d in glob.glob(os.path.join(root, pattern)):
+            rels.add(os.path.relpath(d, root))
+    return sorted(rels)
 
 
 def main() -> int:
@@ -67,6 +85,7 @@ def main() -> int:
     ap.add_argument("--runs", default="runs/round2")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
+    roots = (args.runs, os.path.join(args.out, "runs"))
 
     per_run = []
     table_a, table_b = {}, {}
@@ -86,7 +105,7 @@ def main() -> int:
                                     "run": r["run"], **row})
         else:
             for seed in SEEDS:
-                row = read_run(f"{args.runs}/ref/{fam}-{seed}", "plain")
+                row = read_run(roots, f"ref/{fam}-{seed}", "plain")
                 if row is None:
                     missing.append(f"ref/{fam}-{seed}")
                     continue
@@ -99,7 +118,7 @@ def main() -> int:
         sub, variant = BEST_RECIPE[fam]
         rows_b = []
         for seed in SEEDS:
-            row = read_run(f"{args.runs}/{sub}/{fam}-{seed}", variant)
+            row = read_run(roots, f"{sub}/{fam}-{seed}", variant)
             if row is None:
                 missing.append(f"{sub}/{fam}-{seed} ({variant})")
                 continue
@@ -128,17 +147,20 @@ def main() -> int:
     # run). Reported separately; never mixed into the mean/std tables, and
     # the sweep queue does not treat them as done-markers.
     provisional = {}
-    for d in sorted(glob.glob(f"{args.runs}/provisional/*")):
-        name = os.path.basename(d)
+    for rel in list_rel(roots, "provisional/*"):
+        name = os.path.basename(rel)
         fam = name.rsplit("-", 1)[0]
         variant = BEST_RECIPE.get(fam, ("ref", "plain"))[1]
-        row = read_run(d, variant)
+        row = read_run(roots, rel, variant)
         if row is not None:
             src = ""
-            try:
-                src = open(os.path.join(d, "source_ckpt.txt")).read().strip()
-            except OSError:
-                pass
+            for root in roots:
+                try:
+                    src = open(os.path.join(
+                        root, rel, "source_ckpt.txt")).read().strip()
+                    break
+                except OSError:
+                    pass
             provisional[name] = {**row, "variant": variant, "source": src}
 
     out = {"reference_protocol": table_a, "best_recipe": table_b,
@@ -167,10 +189,10 @@ def main() -> int:
     for r in r1:
         if r["experiment"] == "SOT-2048":
             rpas[r["run"]] = r["RPA"]
-    for d in sorted(glob.glob(f"{args.runs}/refextra/SOT-2048-*")):
-        row = read_run(d, "plain")
+    for rel in list_rel(roots, "refextra/SOT-2048-*"):
+        row = read_run(roots, rel, "plain")
         if row is not None:
-            rpas[os.path.basename(d)] = row["RPA"]
+            rpas[os.path.basename(rel)] = row["RPA"]
     if rpas:
         vals = sorted(rpas.values())
         collapse = {

@@ -1,20 +1,58 @@
 #!/bin/bash
-# Round-2 paper protocol: 5 seeds x 7 families, reference protocol (column A,
-# runs/round2/ref) + best-known per-family recipe (column B, runs/round2/best).
+# Round-2/3 paper protocol: 5 seeds x 7 families, reference protocol (column
+# A, runs/round2/ref) + best-known per-family recipe (column B,
+# runs/round2/best).
 #
-# Reuses round-1 artifacts where metrics/checkpoints survive:
-#   - SOT-2048 reference-protocol 5-seed metrics: results/round1/synthetic_results_best-lsd.json
-#   - SOT-2048 anneal-1500 checkpoints seeds 42/123/456/789: runs/tricks/anneal1500-*
-#   - SOT-512 / SOT-2048-SS anneal seed 42: runs/tricks/sot512-anneal-42, sot2048ss-anneal-42
-# Everything else is trained fresh. Resumable: completed runs are skipped;
-# `touch runs/round2/STOP` halts the queue between tasks.
+# Wipe-resilience (round-2 postmortem: the container reset deleted gitignored
+# runs/, orphaning every evalonly/--resume step):
+#   - checkpoint-reuse steps fall back to training from scratch when the
+#     source checkpoint is gone (evalonly_or_train);
+#   - each finished run's test_metrics*.json is mirrored into git-tracked
+#     results/round2/runs/<sub>/ (persist_run), so the paper table is
+#     re-derivable from the repo alone;
+#   - seed-42 best-lsd checkpoints are copied into results/checkpoints/
+#     (persist_ckpt) so `cli evaluate --ckpt` works on a fresh clone.
+# Resumable: completed runs are skipped; `touch runs/round2/STOP` halts the
+# queue between tasks. Prelude A/Bs are gated on a `"complete": true` flag
+# inside the JSON, not file existence (a timeout mid-variant used to
+# permanently satisfy the marker).
 set -u
 cd /root/repo
 export JAX_COMPILATION_CACHE_DIR=/root/repo/.jax_cache
 export PYTHONPATH=/root/repo${PYTHONPATH:+:$PYTHONPATH}
-mkdir -p runs/round2/ref runs/round2/best results/round2
+mkdir -p runs/round2/ref runs/round2/best results/round2/runs
 
 stop_check() { [ -f runs/round2/STOP ] && { echo "STOP file present, exiting"; exit 0; }; }
+
+# ab_done <json>: success iff the artifact exists AND carries the
+# completeness flag written after the LAST variant.
+ab_done() {
+  python3 - "$1" <<'EOF'
+import json, sys
+try:
+    d = json.load(open(sys.argv[1]))
+except Exception:
+    raise SystemExit(1)
+raise SystemExit(0 if d.get("complete") else 1)
+EOF
+}
+
+# persist_run <sub>: mirror a finished run's metrics into git-tracked results/
+persist_run() {
+  local out="runs/round2/$1" dst="results/round2/runs/$1"
+  mkdir -p "$dst"
+  cp -f "$out"/test_metrics*.json "$dst"/ 2>/dev/null || true
+  [ -f "$out/source_ckpt.txt" ] && cp -f "$out/source_ckpt.txt" "$dst/" || true
+}
+
+# persist_ckpt <sub>: keep the best-lsd checkpoint of table-headline runs
+# (seed 42 of every family/column; ~50K-param encoder, a few MB total)
+persist_ckpt() {
+  local src="runs/round2/$1/checkpoints/best-lsd" dst="results/checkpoints/$1"
+  [ -d "$src" ] || return 0
+  mkdir -p "$(dirname "$dst")"
+  rm -rf "$dst" && cp -r "$src" "$dst"
+}
 
 # train_one <out-subdir> <experiment> <seed> [extra cli args...]
 train_one() {
@@ -25,9 +63,11 @@ train_one() {
   echo "=== train $sub ($exp seed $seed) $(date +%H:%M:%S) ==="
   for attempt in 1 2; do
     timeout 2700 python -m sot_tpu.cli train --experiment "$exp" --seed "$seed" \
-      --out "$out" --final-eval "$@" > "$out.train.log" 2>&1
+      --kernels auto --out "$out" --final-eval "$@" > "$out.train.log" 2>&1
     rc=$?
     if [ $rc -eq 0 ] && [ -f "$out/test_metrics_octcorr.json" ]; then
+      persist_run "$sub"
+      case "$sub" in *-42) persist_ckpt "$sub";; esac
       python3 - "$out" <<'EOF'
 import json, sys
 for v in ("", "_octcorr"):
@@ -66,6 +106,20 @@ evalonly() {
   timeout 900 python -m sot_tpu.cli evaluate --split test --ckpt "$ckpt" \
     --set eval_comb_correction=true \
     > "$out/test_metrics_comb.json" 2>> "$out.eval.log" || { echo "EVAL FAIL $sub (comb)"; return 1; }
+  persist_run "$sub"
+}
+
+# evalonly_or_train <sub> <ckpt> <exp> <seed> [extra args...]: reuse the
+# checkpoint when it survives, otherwise train from scratch (round-2
+# postmortem: a wipe of runs/ orphaned every reuse step with no fallback).
+evalonly_or_train() {
+  local sub=$1 ckpt=$2 exp=$3 seed=$4; shift 4
+  if [ -d "$ckpt" ]; then
+    evalonly "$sub" "$ckpt"
+  else
+    echo "ckpt $ckpt gone; retraining $sub from scratch"
+    train_one "$sub" "$exp" "$seed" "$@"
+  fi
 }
 
 # comb_backfill <out-subdir>: add the comb-corrected test eval to a run that
@@ -82,30 +136,33 @@ comb_backfill() {
   timeout 900 python -m sot_tpu.cli evaluate --split test --ckpt "$ckpt" \
     --set eval_comb_correction=true \
     > "$out/test_metrics_comb.json" 2>> "$out.eval.log" || echo "COMB BACKFILL FAIL $1"
+  persist_run "$1"
 }
 
 ANNEAL1500=(--set 'temperature_schedule=[1.0,0.1,1500]')
 
 # --- one-time TPU kernel work (VERDICT tasks 2/6): merge-kernel A/B +
-# train-step profile, ~10 min total, before the multi-hour train queue ---
-if [ ! -f results/round2/sot_ab.json ]; then
+# train-step profile, ~10 min total, before the multi-hour train queue.
+# Gated on the in-JSON completeness flag, not file existence. ---
+if ! ab_done results/round2/sot_ab.json; then
   stop_check
   echo "=== sot kernel A/B $(date +%H:%M:%S) ==="
   timeout 1800 python scripts/bench_sot_ab.py > results/round2/sot_ab.log 2>&1 \
-    || echo "A/B FAIL (see results/round2/sot_ab.log)"
+    || echo "A/B FAIL rc=$? (see results/round2/sot_ab.log): $(tail -2 results/round2/sot_ab.log | head -1)"
 fi
-if [ ! -f results/round2/conv_ab.json ]; then
+if ! ab_done results/round2/conv_ab.json; then
   stop_check
   echo "=== conv kernel A/B $(date +%H:%M:%S) ==="
   timeout 1800 python scripts/bench_conv_ab.py > results/round2/conv_ab.log 2>&1 \
-    || echo "CONV A/B FAIL (see results/round2/conv_ab.log)"
+    || echo "CONV A/B FAIL rc=$? (see results/round2/conv_ab.log): $(tail -2 results/round2/conv_ab.log | head -1)"
 fi
-if [ ! -f results/round2/mss_ab.json ]; then
+if ! ab_done results/round2/mss_ab.json; then
   stop_check
   echo "=== mss dft-matmul A/B $(date +%H:%M:%S) ==="
   timeout 1800 python scripts/bench_mss_ab.py > results/round2/mss_ab.log 2>&1 \
-    || echo "MSS A/B FAIL (see results/round2/mss_ab.log)"
+    || echo "MSS A/B FAIL rc=$? (see results/round2/mss_ab.log): $(tail -2 results/round2/mss_ab.log | head -1)"
 fi
+# profile AFTER the A/Bs so apply_auto_gates sees the winners
 if [ ! -f results/round2/profile_step.txt ]; then
   stop_check
   echo "=== train-step profile $(date +%H:%M:%S) ==="
@@ -119,12 +176,13 @@ if [ ! -f results/round2/scaling_tpu1.json ]; then
     || echo "SCALING FAIL"
 fi
 
-# --- column B headline completion (SOT-2048 anneal-1500, 5 seeds) ---
+# --- column B headline completion (SOT-2048 anneal-1500, 5 seeds; the
+# round-1 anneal1500 checkpoints were wiped -> these retrain fresh) ---
 train_one best/SOT-2048-101112 SOT-2048-Anneal 101112
-evalonly  best/SOT-2048-42     runs/tricks/anneal1500-42/checkpoints/best-lsd
-evalonly  best/SOT-2048-123    runs/tricks/anneal1500-123/checkpoints/best-lsd
-evalonly  best/SOT-2048-456    runs/tricks/anneal1500-456/checkpoints/best-lsd
-evalonly  best/SOT-2048-789    runs/tricks/anneal1500-789/checkpoints/best-lsd
+evalonly_or_train best/SOT-2048-42  runs/tricks/anneal1500-42/checkpoints/best-lsd  SOT-2048-Anneal 42
+evalonly_or_train best/SOT-2048-123 runs/tricks/anneal1500-123/checkpoints/best-lsd SOT-2048-Anneal 123
+evalonly_or_train best/SOT-2048-456 runs/tricks/anneal1500-456/checkpoints/best-lsd SOT-2048-Anneal 456
+evalonly_or_train best/SOT-2048-789 runs/tricks/anneal1500-789/checkpoints/best-lsd SOT-2048-Anneal 789
 
 # --- remaining families, SEED-MAJOR so a partial sweep still covers every
 # family at the leading seeds (the tunnel outage may truncate the queue).
@@ -138,7 +196,9 @@ queue_seed() {
   train_one "ref/SOT-NoCut-$seed"    SOT-NoCut    "$seed"
   train_one "ref/SOT-2048-SS-$seed"  SOT-2048-SS  "$seed"
   if [ "$seed" = 42 ]; then
-    evalonly best/SOT-512-42 runs/tricks/sot512-anneal-42/checkpoints/best-lsd
+    evalonly_or_train best/SOT-512-42 \
+      runs/tricks/sot512-anneal-42/checkpoints/best-lsd \
+      SOT-512 42 "${ANNEAL1500[@]}"
   else
     train_one "best/SOT-512-$seed" SOT-512 "$seed" "${ANNEAL1500[@]}"
   fi

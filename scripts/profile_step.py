@@ -44,34 +44,39 @@ def main() -> None:
     from sot_tpu import data as data_lib
     from sot_tpu.configs import get_experiment
     from sot_tpu.training.profiling import print_trace_summary, trace
-    from sot_tpu.training.trainer import build_modules, init_state, make_train_step
+    from sot_tpu.training.trainer import (build_modules, init_state,
+                                          make_train_steps_scan)
 
     cfg = get_experiment("SOT-2048")
     mod = build_modules(cfg)
     rng = jax.random.key(0)
     state = init_state(mod, rng)
-    train_step = make_train_step(mod)
+    # Scan-dispatch the whole profiled window as ONE XLA program (the real
+    # loop's dispatch mode, trainer.make_train_steps_scan): per-step Python
+    # dispatch over the remote tunnel used to inflate the profiled wall ~5x
+    # vs bench.py (round-2 postmortem — 68.6 ms/step wall over ~10.5 ms of
+    # device time).
+    train_steps = make_train_steps_scan(mod)
 
     signals, _, _ = data_lib.generate_sinusoid_dataset(
         seed=0, size=cfg.batch_size, n_samples=cfg.n_samples,
         render_batch=cfg.batch_size)
-    x = jnp.asarray(data_lib.peak_normalize(signals))
+    x_all = jnp.asarray(data_lib.peak_normalize(signals))
+    los = jnp.zeros((args.steps,), jnp.int32)
 
-    for _ in range(3):  # compile + warm
-        state, logs = train_step(state, x, rng)
+    state, logs = train_steps(state, x_all, los, rng)  # compile + warm
     jax.block_until_ready(logs["loss/total"])
 
     log_dir = tempfile.mkdtemp(prefix="sot_profile_")
     t0 = time.perf_counter()
     with trace(log_dir):
-        for _ in range(args.steps):
-            state, logs = train_step(state, x, rng)
+        state, logs = train_steps(state, x_all, los, rng)
         jax.block_until_ready(logs["loss/total"])
     wall = (time.perf_counter() - t0) / args.steps * 1e3
 
     print(f"# device: {jax.devices()[0]}")
     print(f"# merge kernel: {bool(os.environ.get('SOT_TPU_W2_MERGE'))}")
-    print(f"# wall ms/step: {wall:.3f}  ({args.steps} steps)")
+    print(f"# wall ms/step: {wall:.3f}  ({args.steps} steps, one scan dispatch)")
     print_trace_summary(log_dir, steps=args.steps, top=30)
 
 
