@@ -18,6 +18,9 @@
 # permanently satisfy the marker).
 set -u
 cd /root/repo
+# The container's default PATH may not include the ML venv (round-3 finding:
+# /usr/local/bin/python has no jax/numpy); pin it explicitly.
+[ -d /opt/venv/bin ] && export PATH="/opt/venv/bin:$PATH"
 export JAX_COMPILATION_CACHE_DIR=/root/repo/.jax_cache
 export PYTHONPATH=/root/repo${PYTHONPATH:+:$PYTHONPATH}
 mkdir -p runs/round2/ref runs/round2/best results/round2/runs

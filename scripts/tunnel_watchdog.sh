@@ -7,6 +7,8 @@
 # full jax probe regardless of port state, in case the tunnel returns on
 # a different port than before the outage.
 cd /root/repo
+# Pin the ML venv: the container's default PATH may lack jax entirely.
+[ -d /opt/venv/bin ] && export PATH="/opt/venv/bin:$PATH"
 
 wait_for_tunnel() {
   local cycle=0
