@@ -75,14 +75,18 @@ def aggregate(rows: List[Dict[str, float]]) -> Dict[str, Dict[str, float]]:
     for k in keys:
         vals = np.array([r[k] for r in rows], dtype=np.float64)
         out[k] = {"mean": float(vals.mean()), "std": float(vals.std()),
-                  "median": float(np.median(vals))}
+                  "median": float(np.median(vals)), "n": int(len(vals))}
     return out
 
 
 def format_paper_table(table: Dict[str, Dict[str, Dict[str, float]]]
                        ) -> List[str]:
     """LaTeX-ready 'mean(std)' rows with \\textbf best and \\emph 2nd-best
-    per column (reference eval_paper.py:167-253)."""
+    per column (reference eval_paper.py:167-253).
+
+    Cells backed by fewer seeds than the paper protocol are labelled
+    honestly: n=1 renders as ``mean(n=1)`` (a 0.000 std would be
+    misleading), 1<n<5 appends ``[n=k]``."""
     if not table:
         return []
     metrics = list(next(iter(table.values())).keys())
@@ -100,7 +104,14 @@ def format_paper_table(table: Dict[str, Dict[str, Dict[str, float]]]
     for e in exps:
         cells = []
         for m in metrics:
-            s = f"{table[e][m]['mean']:.3f}({table[e][m]['std']:.3f})"
+            cell = table[e][m]
+            n = cell.get("n", 5)
+            if n == 1:
+                s = f"{cell['mean']:.3f}(n=1)"
+            else:
+                s = f"{cell['mean']:.3f}({cell['std']:.3f})"
+                if n < 5:
+                    s += f"[n={n}]"
             if ranks[m][e] == 0:
                 s = "\\textbf{%s}" % s
             elif ranks[m][e] == 1:

@@ -88,6 +88,11 @@ def test_eval_paper_table_formatting():
     assert "\\textbf" in lines[1].split(",")[1]
     assert "\\textbf" in lines[2].split(",")[2]
     assert "\\emph" in lines[1].split(",")[2]
+    # sub-protocol seed counts are labelled, not passed off as real stds
+    assert "[n=2]" in lines[1].split(",")[1]
+    single = format_paper_table({"C": aggregate([{"LSD": 1.0}])})
+    assert "1.000(n=1)" in single[1]
+    assert "(0.000)" not in single[1]
 
 
 def test_pitch_error_report():
