@@ -124,10 +124,11 @@ def main() -> None:
             os.environ["SOT_TPU_W2_SORTMERGE"] = "1"
         elif variant == "merge":
             os.environ["SOT_TPU_W2_MERGE"] = "1"
-        # merge kernel: retry at smaller row blocks if Mosaic rejects the
-        # ~14 MB VMEM working set at 128 rows (first real-TPU compile
-        # happens unattended here — never kill the whole A/B on it)
-        rows_options = (128, 64, 32) if variant == "merge" else (0,)
+        # merge kernel rows ride the lane axis: blocks must be 128-divisible
+        # (real-TPU finding — 64/32 are rejected at Mosaic lowering), so
+        # there is no smaller-block fallback; a compile failure is recorded
+        # and the A/B moves on.
+        rows_options = (128,) if variant == "merge" else (0,)
         for rows in rows_options:
             if rows:
                 os.environ["SOT_TPU_MERGE_ROWS"] = str(rows)

@@ -10,9 +10,11 @@ auto` all route through it so the shipped configuration is chosen in
 exactly one place.
 
 Rules: a candidate needs a >3% total (fwd+grad) win over its baseline
-(bench noise on this setup is ±1.5%); an explicit env setting for any gate
-a candidate touches removes that candidate (the user's pin wins); the MSS
-rfft candidates are mutually exclusive recipes and the best total wins.
+(bench noise on this setup is ±1.5%) AND a >=0.05 ms absolute win (the MSS
+A/B measures µs-scale paths where a 3% relative delta is pure noise — a
+gate flip must be worth real step time); an explicit env setting for any
+gate a candidate touches removes that candidate (the user's pin wins); the
+MSS rfft candidates are mutually exclusive recipes and the best total wins.
 """
 
 from __future__ import annotations
@@ -50,7 +52,8 @@ def auto_gates(ab_dir: str = "results/round2") -> Dict[str, str]:
         except Exception:  # noqa: BLE001 — A/B not run yet
             continue
         cand, base = ab.get(cand_key, {}), ab.get(base_key, {})
-        if total(cand) < 0.97 * total(base):
+        if (total(cand) < 0.97 * total(base)
+                and total(base) - total(cand) >= 0.05):
             if fname == _MSS_FILE:
                 if total(cand) < best_mss[1]:
                     best_mss = (envs, total(cand))

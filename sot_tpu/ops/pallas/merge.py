@@ -66,8 +66,10 @@ def _rows() -> int:
     """Rows per program, riding the 128 lanes.  The merge+scan stages keep
     ~7 live [2*M2, rows] f32 buffers (t/sw/f + per-stage partners + masks);
     at rows=128 and n_aug-1=1025 (M2=2048) that is ~14 MB — right at the
-    ~16 MB/core VMEM budget.  SOT_TPU_MERGE_ROWS=64/32 halves/quarters the
-    block if Mosaic rejects 128 (read at trace time)."""
+    ~16 MB/core VMEM budget.  SOT_TPU_MERGE_ROWS (read at trace time) must
+    be a multiple of 128: rows ride the LANE axis, and Mosaic requires the
+    last block dim be 128-divisible (real-TPU finding, round 3 — 64/32
+    blocks are rejected at lowering, so there is no sub-128 fallback)."""
     return int(os.environ.get("SOT_TPU_MERGE_ROWS", "128"))
 
 
@@ -115,7 +117,10 @@ def _bitonic_merge(arrs, L: int):
         d = 1 << (s - 1)
         first = (idx & d) == 0
         partner_t = jnp.where(first, _shift_up(t, d), _shift_down(t, d))
-        take_own = jnp.where(first, t >= partner_t, partner_t >= t)
+        # keep-own predicate via one f32 select + compare: selecting between
+        # two BOOLEAN vectors makes Mosaic materialize i8 masks and die on
+        # an i8->i1 vector truncation (first real-TPU compile, round 3)
+        take_own = jnp.where(first, t - partner_t, partner_t - t) >= 0.0
         new = [jnp.where(take_own, t, partner_t)]
         for p in arrs[1:]:
             partner_p = jnp.where(first, _shift_up(p, d), _shift_down(p, d))

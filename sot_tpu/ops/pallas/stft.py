@@ -65,7 +65,7 @@ def _windowed_dft(n_fft: int, window_key) -> np.ndarray:
 
 
 def _frontend_kernel(chunks_ref, m_ref, out_ref, frames_ref, *, q: int,
-                     c: int, r_t: int, hop: int):
+                     q8: int, c: int, r_t: int, hop: int):
     """Grid (rows, k): build the frame slab scratch at k == 0, then one
     MXU matmul per K tile."""
     i = jax.lax.mul(pl.program_id(0), r_t)
@@ -73,8 +73,18 @@ def _frontend_kernel(chunks_ref, m_ref, out_ref, frames_ref, *, q: int,
 
     @pl.when(k == 0)
     def _():
+        # Mosaic requires dynamic sublane offsets provably 8-aligned, so
+        # the original per-slab loads at i + r (r = 1..q-1) are rejected at
+        # lowering (real-TPU finding, round 3).  Instead: ONE aligned load
+        # of the row tile plus its q8-row tail, then shift in-register with
+        # static rolls — slab r = rows [r, r + r_t) of the extended block.
+        base = chunks_ref[pl.ds(i, r_t), :]
+        tail = chunks_ref[pl.ds(i + r_t, q8), :]
+        ext = jnp.concatenate([base, tail], axis=0)
         for r in range(q):
-            slab = chunks_ref[pl.ds(i + r, r_t), :]
+            slab = ext if r == 0 else pltpu.roll(
+                ext, shift=ext.shape[0] - r, axis=0)
+            slab = slab[:r_t]
             if r:
                 # rows whose chunk index wraps past the clip read the
                 # next clip's samples; tf pad_end semantics = zeros there
@@ -95,14 +105,15 @@ except Exception:  # pragma: no cover
     pltpu = None
 
 
-def _project_pallas(chunks: Array, m: Array, q: int, c: int,
+def _project_pallas(chunks: Array, m: Array, q: int, q8: int, c: int,
                     n_fft: int, hop: int) -> Array:
-    rows = chunks.shape[0] - q  # q zero pad rows for the last tile's slabs
+    rows = chunks.shape[0] - q8  # q8 zero pad rows for the last tile's slabs
     r_t = _ROW_TILE if rows % _ROW_TILE == 0 else rows
     k_pad = m.shape[1]
     grid = (rows // r_t, k_pad // _K_TILE)
     return pl.pallas_call(
-        functools.partial(_frontend_kernel, q=q, c=c, r_t=r_t, hop=hop),
+        functools.partial(_frontend_kernel, q=q, q8=q8, c=c, r_t=r_t,
+                          hop=hop),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),  # full chunk array
@@ -146,8 +157,9 @@ def _frontend_fwd(audio, size, hop_length, window):
     q = size // hop_length
     m = jnp.asarray(_windowed_dft(size, window))
     chunks = audio.reshape(b * c, hop_length)
-    chunks = jnp.pad(chunks, ((0, q), (0, 0)))
-    proj = _project_pallas(chunks, m, q, c, size, hop_length)
+    q8 = -(-q // 8) * 8  # tail padded to an 8-aligned sublane load
+    chunks = jnp.pad(chunks, ((0, q8), (0, 0)))
+    proj = _project_pallas(chunks, m, q, q8, c, size, hop_length)
     n_cols = 2 * (size // 2 + 1)
     return proj[:, :n_cols].reshape(b, c, n_cols), (b, t)
 

@@ -62,6 +62,16 @@ def test_mss_near_tie_keeps_baseline():
     assert auto_gates() == {}
 
 
+def test_us_scale_relative_win_is_noise():
+    # a big RELATIVE win on a µs-scale path (the real round-3 mss_ab:
+    # fft 0.006+0.005 vs dft 0.005+0.005) is below the 0.05 ms absolute
+    # floor — a gate flip must be worth real step time
+    _write("mss_ab.json", {
+        "fft": {"fwd_ms": 0.006, "grad_ms": 0.005},
+        "dft_matmul": {"fwd_ms": 0.005, "grad_ms": 0.005}})
+    assert auto_gates() == {}
+
+
 def test_explicit_env_wins(monkeypatch):
     _write("mss_ab.json", {
         "fft": {"fwd_ms": 1.0, "grad_ms": 1.0},
