@@ -356,7 +356,24 @@ def sot_w2_merge(alpha: Array, beta: Array, g: Array,
     x = (g[1:] - g[:-1]).astype(jnp.float32)
     a = cap[:, None] - alpha[:, :-1]
     b = cap[:, None] - beta[:, :-1]
-    S = _coupling(alpha[:, :-1], beta[:, :-1], cap, x, not target_constant)
+    # Shave the last coupling column before the kernel: the augmented grid
+    # duplicates its final point, so x[-1] == 0 by construction and column
+    # m-1 contributes nothing.  At the production shapes this makes the
+    # padded valley length a power of two (m 1025 -> 1024: L drops
+    # 4096 -> 2048), HALVING the kernel's VMEM working set — the full-width
+    # valley's ~18 MB exceeds the ~16 MB/core budget (real-TPU OOM, round
+    # 3) — and removing one merge stage.  The exact O(n) boundary terms
+    # below keep the result valid for arbitrary grids (parity-tested).
+    S_core = _coupling(alpha[:, :-2], beta[:, :-2], cap, x[:-1],
+                       not target_constant)
+    xl = x[-1]
+    a_last, b_last = a[:, -1], b[:, -1]
+    S = (S_core
+         + xl * jnp.einsum("rn,n->r",
+                           jnp.minimum(a[:, :-1], b_last[:, None]), x[:-1])
+         + xl * jnp.einsum("rn,n->r",
+                           jnp.minimum(b[:, :-1], a_last[:, None]), x[:-1])
+         + xl * xl * jnp.minimum(a_last, b_last))
     cross = (g[0] * g[0]) * cap + g[0] * (
         jnp.einsum("rn,n->r", a, x) + jnp.einsum("rn,n->r", b, x)) + S
     return marg - 2.0 * cross
