@@ -61,6 +61,12 @@ from .sot import _interpret
 
 Array = jax.Array
 
+# Origin-encoding offset for the merged weight payload (see _build_valley):
+# a power of two so scaling/rounding is exact, far above the f32 denormal
+# range so TPU flush-to-zero never touches it, far below any real grid
+# delta so weights decode exactly.
+_ORIGIN_EPS = 2.0 ** -100
+
 
 def _rows() -> int:
     """Rows per program, riding the 128 lanes.  The merge+scan stages keep
@@ -161,14 +167,37 @@ def _compact(val: Array, disp: Array, L: int) -> Array:
 
 def _build_valley(a, b_rev, xa, xb_rev, m8: int, M2: int, L: int, r: int):
     """Assemble the bitonic valley [a desc | -1 pad | -1 pad | b asc] and
-    its signed-weight payload in [L, R] layout."""
-    pad = jnp.full((M2 - m8, r), -1.0, jnp.float32)
-    t = jnp.concatenate([a, pad, pad, b_rev], axis=0)
-    zw = jnp.zeros((M2 - m8, r), jnp.float32)
-    sw = jnp.concatenate(
-        [jnp.broadcast_to(xa, (m8, r)), zw, zw,
-         jnp.broadcast_to(-xb_rev, (m8, r))], axis=0)
-    return t, sw
+    its ORIGIN-ENCODED weight payload in [L, R] layout.
+
+    One payload carries both the weight and the element's origin, so the
+    grad kernel needs no separate flag array through the merge (a third
+    payload pushed its VMEM stack 1 MB over the 16 MB core budget —
+    real-TPU finding, round 3):
+
+        a element:  sw = x          (>= 0)
+        valley pad: sw = -T/2       (strictly between the two bands)
+        b element:  sw = -(x + T)   (<= -T; rounding is monotone)
+
+    with T = 2**-100 (power of two, comfortably normal in f32 so TPU
+    flush-to-zero never touches it).  Any real weight x >= 2**-76 absorbs
+    T exactly, so the decode b-weight = max(-sw - T, 0) is EXACT for all
+    practical grid deltas (a unit offset cost ~1e-4 relative error on
+    ~1e-3 weights — caught by the parity suite).  a-flag = sw >= 0;
+    b-flag = sw <= -T.  Valid for any x >= 0.  When m8 == M2
+    (pow2 shapes — the production case after the tail-column shave) there
+    are no pad segments; Mosaic rejects zero-size vectors, so they are
+    skipped rather than concatenated empty."""
+    parts_t = [a]
+    parts_sw = [jnp.broadcast_to(xa, (m8, r))]
+    if M2 > m8:
+        pad = jnp.full((M2 - m8, r), -1.0, jnp.float32)
+        zw = jnp.full((M2 - m8, r), -_ORIGIN_EPS / 2, jnp.float32)
+        parts_t += [pad, pad]
+        parts_sw += [zw, zw]
+    parts_t.append(b_rev)
+    parts_sw.append(jnp.broadcast_to(-(xb_rev + _ORIGIN_EPS), (m8, r)))
+    return (jnp.concatenate(parts_t, axis=0),
+            jnp.concatenate(parts_sw, axis=0))
 
 
 def _fwd_kernel(a_ref, b_ref, xa_ref, xb_ref, out_ref, *, m8: int, M2: int):
@@ -178,7 +207,7 @@ def _fwd_kernel(a_ref, b_ref, xa_ref, xb_ref, out_ref, *, m8: int, M2: int):
                           m8, M2, L, r)
     t, sw = _bitonic_merge([t, sw], L)
     X = _scan_incl(jnp.maximum(sw, 0.0), L)
-    Y = _scan_incl(jnp.maximum(-sw, 0.0), L)
+    Y = _scan_incl(jnp.maximum(-sw - _ORIGIN_EPS, 0.0), L)
     rt = jnp.maximum(t, 0.0)
     idx = _iota(rt.shape)
     width = rt - jnp.where(idx < L - 1, _shift_up(rt, 1), 0.0)
@@ -197,20 +226,19 @@ def _grad_kernel(a_ref, b_ref, xa_ref, xb_ref, *out_refs, m8: int, M2: int,
         (db_ref,) = out_refs
     t, sw = _build_valley(a_ref[:], b_ref[:], xa_ref[:], xb_ref[:],
                           m8, M2, L, r)
-    fpad = jnp.zeros((M2 - m8, r), jnp.float32)
-    f = jnp.concatenate([jnp.ones((m8, r), jnp.float32), fpad, fpad,
-                         jnp.zeros((m8, r), jnp.float32)], axis=0)
-    t, sw, f = _bitonic_merge([t, sw, f], L)
+    # origin travels inside sw (see _build_valley) — a third merge payload
+    # OOMed the grad kernel's VMEM stack by 1 MB on-chip
+    t, sw = _bitonic_merge([t, sw], L)
     idx = _iota(t.shape)
     if alpha_grads:
-        Y = _scan_incl(jnp.maximum(-sw, 0.0), L)
-        ca = _scan_incl(f, L)
-        disp_a = jnp.where(f > 0.5, idx - ca.astype(jnp.int32) + 1, -1)
+        Y = _scan_incl(jnp.maximum(-sw - _ORIGIN_EPS, 0.0), L)
+        ca = _scan_incl(jnp.where(sw >= 0.0, 1.0, 0.0), L)
+        disp_a = jnp.where(sw >= 0.0, idx - ca.astype(jnp.int32) + 1, -1)
         da = _compact(Y, disp_a, L)
         da_ref[:] = da[:m8]
     X = _scan_incl(jnp.maximum(sw, 0.0), L)
-    cb = _scan_incl(1.0 - f, L)
-    disp_b = jnp.where(f < 0.5, idx - cb.astype(jnp.int32) + 1, -1)
+    cb = _scan_incl(jnp.where(sw <= -_ORIGIN_EPS, 1.0, 0.0), L)
+    disp_b = jnp.where(sw <= -_ORIGIN_EPS, idx - cb.astype(jnp.int32) + 1, -1)
     db = _compact(X, disp_b, L)
     db_ref[:] = db[:m8]
 
