@@ -45,7 +45,9 @@ from .sot import _interpret, _use_pallas
 Array = jax.Array
 
 _K_TILE = 256   # projection columns per program (M block [n_fft, 256])
-_ROW_TILE = 512  # frame rows per program ([512, n_fft] f32 scratch <= 4 MB)
+_ROW_TILE = 256  # frame rows per program ([256, n_fft] f32 scratch <= 2 MB;
+# 512 OOMed the 16 MB scoped VMEM on-chip: the q-unrolled slab temporaries
+# + scratch + streamed M blocks summed to 25 MB — real-TPU finding, round 3)
 
 
 @functools.lru_cache(maxsize=32)
