@@ -108,7 +108,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--k", type=int, default=16)
-    ap.add_argument("--variants", default="plane,sortmerge,merge")
+    ap.add_argument("--variants", default="plane,sortmerge,merge,hybrid")
     args = ap.parse_args()
 
     import jax
@@ -124,6 +124,10 @@ def main() -> None:
             os.environ["SOT_TPU_W2_SORTMERGE"] = "1"
         elif variant == "merge":
             os.environ["SOT_TPU_W2_MERGE"] = "1"
+        elif variant == "hybrid":
+            # merge forward + plane backward (the training-safe mode —
+            # see results/round2/merge_train_verdict.json)
+            os.environ["SOT_TPU_W2_MERGE"] = "hybrid"
         # merge kernel rows ride the lane axis: blocks must be 128-divisible
         # (real-TPU finding — 64/32 are rejected at Mosaic lowering), so
         # there is no smaller-block fallback; a compile failure is recorded

@@ -35,6 +35,23 @@ _AB_GATES: Tuple = (
 
 _MSS_FILE = "mss_ab.json"
 
+# The FULL merge kernel's backward realizes min-halving subgradients; real
+# spectra sit exactly on the cap-tie kink manifold where that convention
+# differs macroscopically from the reference's (see _merge_mode in
+# ops/pallas/sot.py).  Speed alone therefore cannot justify 'full': it
+# additionally needs a committed TRAINING verdict (a 25k run reaching
+# reference-recipe accuracy).  Until then the A/B winner is demoted to
+# 'hybrid' — merge forward, plane backward, exact reference gradients.
+_MERGE_TRAIN_VERDICT = "merge_train_verdict.json"
+
+
+def _full_merge_blessed(ab_dir: str) -> bool:
+    try:
+        v = json.load(open(os.path.join(ab_dir, _MERGE_TRAIN_VERDICT)))
+    except Exception:  # noqa: BLE001 — no verdict yet
+        return False
+    return bool(v.get("full_ok"))
+
 
 def auto_gates(ab_dir: str = "results/round2") -> Dict[str, str]:
     """Env-gate settings for the committed A/B winners under ``ab_dir``."""
@@ -60,8 +77,11 @@ def auto_gates(ab_dir: str = "results/round2") -> Dict[str, str]:
                 continue
             for env in envs:
                 gates[env] = "1"
-            if "SOT_TPU_W2_MERGE" in envs and cand.get("rows"):
-                gates["SOT_TPU_MERGE_ROWS"] = str(cand["rows"])
+            if "SOT_TPU_W2_MERGE" in envs:
+                if not _full_merge_blessed(ab_dir):
+                    gates["SOT_TPU_W2_MERGE"] = "hybrid"
+                if cand.get("rows"):
+                    gates["SOT_TPU_MERGE_ROWS"] = str(cand["rows"])
     if best_mss[0]:
         for env in best_mss[0]:
             gates[env] = "1"

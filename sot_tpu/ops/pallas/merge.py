@@ -112,27 +112,45 @@ def _shift_down(v: Array, d: int) -> Array:
     return pltpu.roll(v, shift=d, axis=0)
 
 
-def _bitonic_merge(arrs, L: int):
+def _bitonic_merge(arrs, L: int, tie: int = 1):
     """Sort a bitonic [L, R] key array (arrs[0]) descending, carrying
-    payloads.  log2(L) compare-exchange stages; pair (i, i^d) keeps the max
-    at the low index.  Ties keep the low-index element in place (both sides
-    of the pair use the same predicate, so key+payloads travel together)."""
-    t = arrs[0]
+    payloads (arrs[1] must be the origin-encoded weight, see
+    _build_valley).  log2(L) compare-exchange stages; pair (i, i^d) keeps
+    the max at the low index.
+
+    Ties are broken LEXICOGRAPHICALLY by element origin: ``tie=+1`` ranks
+    a-elements above b-elements of equal key, ``tie=-1`` the reverse.
+    This makes tied a-runs and tied b-runs contiguous in the output, which
+    the gradient kernel needs twice (one merge per tie direction) to
+    realize the reference's 0.5 tie-halving subgradients — the merge
+    network's arbitrary tie routing interleaves tied elements and
+    misattributes their prefix sums (on-chip round-3 finding: training
+    diverged with one-sided tie routing; the plane kernel's tie-halving
+    note in CLAUDE.md is load-bearing).  Equal (key, origin) elements are
+    mutually interchangeable: their prefix values coincide, so network
+    instability within such runs is harmless.
+
+    Predicates are built from f32 selects + compares and i1 AND/OR only:
+    selecting between boolean vectors makes Mosaic materialize i8 masks
+    and die on an i8->i1 truncation (first real-TPU compile, round 3)."""
+    t, sw = arrs[0], arrs[1]
     idx = _iota(t.shape)
     for s in range(_log2(L), 0, -1):
         d = 1 << (s - 1)
         first = (idx & d) == 0
-        partner_t = jnp.where(first, _shift_up(t, d), _shift_down(t, d))
-        # keep-own predicate via one f32 select + compare: selecting between
-        # two BOOLEAN vectors makes Mosaic materialize i8 masks and die on
-        # an i8->i1 vector truncation (first real-TPU compile, round 3)
-        take_own = jnp.where(first, t - partner_t, partner_t - t) >= 0.0
-        new = [jnp.where(take_own, t, partner_t)]
-        for p in arrs[1:]:
-            partner_p = jnp.where(first, _shift_up(p, d), _shift_down(p, d))
-            new.append(jnp.where(take_own, p, partner_p))
-        t = new[0]
-        arrs = new
+        partner = [jnp.where(first, _shift_up(p, d), _shift_down(p, d))
+                   for p in arrs]
+        dt = jnp.where(first, t - partner[0], partner[0] - t)
+        ia_own = jnp.where(sw >= 0.0, 1.0, 0.0)
+        ia_par = jnp.where(partner[1] >= 0.0, 1.0, 0.0)
+        di = jnp.where(first, ia_own - ia_par, ia_par - ia_own)
+        if tie >= 0:
+            take_own = (dt > 0.0) | ((dt == 0.0) & (di >= 0.0))
+        else:
+            take_own = (dt > 0.0) | ((dt == 0.0) & (di <= 0.0))
+        arrs = [jnp.where(take_own, own, par)
+                for own, par in zip(arrs, partner)]
+        t, sw = arrs[0], arrs[1]
     return arrs
 
 
@@ -217,30 +235,52 @@ def _fwd_kernel(a_ref, b_ref, xa_ref, xb_ref, out_ref, *, m8: int, M2: int):
 def _grad_kernel(a_ref, b_ref, xa_ref, xb_ref, *out_refs, m8: int, M2: int,
                  alpha_grads: bool):
     """dS/da (pre-x-scaling: Y at each a element) and dS/db (X at each b),
-    in ORIGINAL order, via merge + two stream compactions."""
+    in ORIGINAL order, via merge + stream compactions.
+
+    Subgradient convention at exact a == b ties: 0.5 tie-halving, matching
+    the reference sort pipeline and the plane kernel (load-bearing for
+    training — see CLAUDE.md).  Realized as the average of two merges with
+    opposite lexicographic tie directions: with a-elements ranked above
+    tied b-elements, the inclusive prefix at a b-element is
+    X_>=(b) = sum_k x_k [a_k >= b]; with the reverse ranking it is
+    X_>(b); their mean is exactly X_> + 0.5 * X_== (same for Y at
+    a-elements).  Within one tie direction every tied element of a kind
+    sees the SAME prefix value, so the network's instability inside tied
+    runs cannot misattribute gradients (the one-sided single-merge version
+    interleaved tied a's and b's arbitrarily and diverged in training —
+    on-chip round-3 finding)."""
     L = 2 * M2
     r = a_ref.shape[1]
     if alpha_grads:
         da_ref, db_ref = out_refs
     else:
         (db_ref,) = out_refs
-    t, sw = _build_valley(a_ref[:], b_ref[:], xa_ref[:], xb_ref[:],
-                          m8, M2, L, r)
-    # origin travels inside sw (see _build_valley) — a third merge payload
-    # OOMed the grad kernel's VMEM stack by 1 MB on-chip
-    t, sw = _bitonic_merge([t, sw], L)
-    idx = _iota(t.shape)
+
+    def one_pass(tie):
+        t, sw = _build_valley(a_ref[:], b_ref[:], xa_ref[:], xb_ref[:],
+                              m8, M2, L, r)
+        t, sw = _bitonic_merge([t, sw], L, tie)
+        idx = _iota(t.shape)
+        outs = []
+        if alpha_grads:
+            Y = _scan_incl(jnp.maximum(-sw - _ORIGIN_EPS, 0.0), L)
+            ca = _scan_incl(jnp.where(sw >= 0.0, 1.0, 0.0), L)
+            disp_a = jnp.where(sw >= 0.0, idx - ca.astype(jnp.int32) + 1, -1)
+            outs.append(_compact(Y, disp_a, L)[:m8])
+        X = _scan_incl(jnp.maximum(sw, 0.0), L)
+        cb = _scan_incl(jnp.where(sw <= -_ORIGIN_EPS, 1.0, 0.0), L)
+        disp_b = jnp.where(sw <= -_ORIGIN_EPS,
+                           idx - cb.astype(jnp.int32) + 1, -1)
+        outs.append(_compact(X, disp_b, L)[:m8])
+        return outs
+
+    hi = one_pass(1)
+    lo = one_pass(-1)
     if alpha_grads:
-        Y = _scan_incl(jnp.maximum(-sw - _ORIGIN_EPS, 0.0), L)
-        ca = _scan_incl(jnp.where(sw >= 0.0, 1.0, 0.0), L)
-        disp_a = jnp.where(sw >= 0.0, idx - ca.astype(jnp.int32) + 1, -1)
-        da = _compact(Y, disp_a, L)
-        da_ref[:] = da[:m8]
-    X = _scan_incl(jnp.maximum(sw, 0.0), L)
-    cb = _scan_incl(jnp.where(sw <= -_ORIGIN_EPS, 1.0, 0.0), L)
-    disp_b = jnp.where(sw <= -_ORIGIN_EPS, idx - cb.astype(jnp.int32) + 1, -1)
-    db = _compact(X, disp_b, L)
-    db_ref[:] = db[:m8]
+        da_ref[:] = 0.5 * (hi[0] + lo[0])
+        db_ref[:] = 0.5 * (hi[1] + lo[1])
+    else:
+        db_ref[:] = 0.5 * (hi[0] + lo[0])
 
 
 def _pad_desc(v: Array, m8: int) -> Array:

@@ -521,10 +521,52 @@ def _use_sortmerge() -> bool:
     return env_flag("SOT_TPU_W2_SORTMERGE")
 
 
-def _use_merge_kernel() -> bool:
+def _merge_mode() -> str:
+    """SOT_TPU_W2_MERGE: off | full | hybrid.
+
+    'hybrid' pairs the O(n log n) merge FORWARD (values are
+    convention-free and 7x faster than the plane kernel) with the plane
+    kernel's BACKWARD — the gradient convention validated end-to-end
+    against the torch reference.  Full-merge gradients realize exact
+    min-halving subgradients instead; real spectra sit exactly on the
+    cap-tie kink manifold (the quantile cap is DEFINED as an attained CDF
+    value), so the two conventions differ macroscopically there and only
+    training evidence can justify 'full' (see PERF.md, round 3)."""
     from sot_tpu.ops.numerics import env_flag
 
-    return env_flag("SOT_TPU_W2_MERGE")
+    raw = os.environ.get("SOT_TPU_W2_MERGE", "")
+    if raw.strip().lower() == "hybrid":
+        return "hybrid"
+    return "full" if env_flag("SOT_TPU_W2_MERGE") else "off"
+
+
+def _use_merge_kernel() -> bool:
+    return _merge_mode() != "off"
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _w2_merge_hybrid(alpha: Array, beta: Array, g: Array,
+                     target_constant: bool) -> Array:
+    from sot_tpu.ops.pallas.merge import sot_w2_merge
+
+    return sot_w2_merge(alpha, beta, g, target_constant=target_constant)
+
+
+def _w2_merge_hybrid_fwd(alpha, beta, g, target_constant):
+    from sot_tpu.ops.pallas.merge import sot_w2_merge
+
+    value = sot_w2_merge(alpha, beta, g, target_constant=target_constant)
+    return value, (alpha, beta, g)
+
+
+def _w2_merge_hybrid_bwd(target_constant, res, wbar):
+    alpha, beta, g = res
+    da, db = _pallas_bwd(alpha, beta, g, 2.0, wbar,
+                         alpha_grads=not target_constant)
+    return da, db, jnp.zeros_like(g)
+
+
+_w2_merge_hybrid.defvjp(_w2_merge_hybrid_fwd, _w2_merge_hybrid_bwd)
 
 
 # ---------------------------------------------------------------------------
@@ -583,6 +625,9 @@ def wasserstein_same_grid(
 
     if p == 2.0 and _use_merge_kernel() and (_use_pallas() or _interpret()):
         # O(n log n) Pallas bitonic-merge coupling (ops/pallas/merge.py)
+        if _merge_mode() == "hybrid":
+            # merge forward + plane backward (reference-convention grads)
+            return _w2_merge_hybrid(alpha, beta, gaug, target_constant)
         from sot_tpu.ops.pallas.merge import sot_w2_merge
 
         return sot_w2_merge(alpha, beta, gaug,

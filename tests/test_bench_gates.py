@@ -29,11 +29,22 @@ def test_no_ab_files_no_gates():
 
 
 def test_winner_enabled_with_merge_rows():
+    # without a committed training verdict, a merge A/B win enables the
+    # HYBRID mode (reference-convention gradients), never 'full'
     _write("sot_ab.json", {"plane": {"fwd_ms": 2.0, "grad_ms": 3.0},
                            "merge": {"fwd_ms": 1.0, "grad_ms": 1.0,
                                      "rows": 64}})
-    assert auto_gates() == {"SOT_TPU_W2_MERGE": "1",
+    assert auto_gates() == {"SOT_TPU_W2_MERGE": "hybrid",
                             "SOT_TPU_MERGE_ROWS": "64"}
+
+
+def test_full_merge_needs_training_verdict():
+    _write("sot_ab.json", {"plane": {"fwd_ms": 2.0, "grad_ms": 3.0},
+                           "merge": {"fwd_ms": 1.0, "grad_ms": 1.0}})
+    _write("merge_train_verdict.json", {"full_ok": False})
+    assert auto_gates() == {"SOT_TPU_W2_MERGE": "hybrid"}
+    _write("merge_train_verdict.json", {"full_ok": True})
+    assert auto_gates() == {"SOT_TPU_W2_MERGE": "1"}
 
 
 def test_loser_and_errored_candidates_stay_off():
@@ -93,4 +104,4 @@ def test_bench_delegates_to_kernel_gates():
         "bench_mod", os.path.join(os.path.dirname(__file__), "..", "bench.py"))
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
-    assert mod._auto_gates() == {"SOT_TPU_W2_MERGE": "1"}
+    assert mod._auto_gates() == {"SOT_TPU_W2_MERGE": "hybrid"}

@@ -74,6 +74,58 @@ def test_merge_kernel_gradients_match_xla(lqr, v_mass):
                                atol=1e-3 * scale)
 
 
+def _merge_form_dense(alpha, beta, g):
+    """Dense XLA mirror of sot_w2_merge's decomposition with the coupling
+    as an explicit jnp.minimum bilinear — autodiff of jnp.minimum splits
+    ties 0.5/0.5, so this realizes EXACTLY the min-halving subgradient
+    convention the merge kernel's two-pass average implements."""
+    gamma = jnp.pad(alpha, ((0, 0), (1, 0)))[:, :-1]
+    delta = jnp.pad(beta, ((0, 0), (1, 0)))[:, :-1]
+    g2 = g * g
+    marg = jnp.einsum("rn,n->r", alpha - gamma, g2) + jnp.einsum(
+        "rn,n->r", beta - delta, g2)
+    cap = alpha[:, -1]
+    x = (g[1:] - g[:-1]).astype(jnp.float32)
+    a = cap[:, None] - alpha[:, :-1]
+    b = cap[:, None] - beta[:, :-1]
+    S = jnp.einsum("rkl,k,l->r",
+                   jnp.minimum(a[:, :, None], b[:, None, :]), x, x)
+    cross = (g[0] * g[0]) * cap + g[0] * (
+        jnp.einsum("rn,n->r", a, x) + jnp.einsum("rn,n->r", b, x)) + S
+    return marg - 2.0 * cross
+
+
+@pytest.mark.parametrize("lqr", [False, True])
+def test_merge_kernel_tie_subgradients_match_min_halving(lqr):
+    """Gradient parity at exact ties, NO kink masking, against the dense
+    min-halving oracle.  Regression for the round-3 on-chip failure: a
+    single merge with network tie routing interleaves tied elements,
+    misattributes their prefix sums, and diverges training (LSD ~88 vs
+    ~23); the two-pass lexicographic average realizes the same balanced
+    0.5 tie splits as jnp.minimum autodiff.  (The overlap-form XLA/plane
+    path composes 0.5 splits through relu(min-max) differently — at kinks
+    the conventions differ by bounded amounts; both are valid balanced
+    subgradients, and away from kinks all paths agree — see the masked
+    test above.)  Sparse weights with exact zeros + the quantile cap
+    maximize tie count, like real spectra."""
+    from functools import partial
+
+    grid, u, v = _make_case(47, rows=12, n=97, v_mass=1.4, zeros=True)
+
+    def f(fn, uu, vv):
+        a, b, gaug = _alpha_beta(grid, uu, vv, lqr)
+        return jnp.sum(fn(a, b, gaug))
+
+    gu_m, gv_m = jax.grad(partial(f, sot_w2_merge), argnums=(0, 1))(u, v)
+    gu_d, gv_d = jax.grad(partial(f, _merge_form_dense),
+                          argnums=(0, 1))(u, v)
+    scale = max(float(jnp.max(jnp.abs(gu_d))), float(jnp.max(jnp.abs(gv_d))))
+    np.testing.assert_allclose(np.asarray(gu_m), np.asarray(gu_d),
+                               atol=1e-4 * scale)
+    np.testing.assert_allclose(np.asarray(gv_m), np.asarray(gv_d),
+                               atol=1e-4 * scale)
+
+
 def test_merge_kernel_target_constant_matches_stopgrad_spec():
     """target_constant's exact spec: identical to the full VJP with
     stop_gradient applied to the alpha BODY lanes (cap lane stays live —
@@ -123,6 +175,39 @@ def test_merge_kernel_composes_with_row_sharding(monkeypatch):
                                    limit_quantile_range=True)
     np.testing.assert_allclose(np.asarray(sharded), np.asarray(single),
                                rtol=1e-5, atol=1e-7)
+
+
+def test_hybrid_mode_merge_value_plane_grads(monkeypatch):
+    """SOT_TPU_W2_MERGE=hybrid: forward value identical to the full merge
+    path, gradients identical to the plane/overlap path (the convention
+    validated e2e against the torch reference) — including at the cap-tie
+    kinks real spectra always sit on."""
+    grid, u, v = _make_case(53, rows=12, n=97, v_mass=1.4, zeros=True)
+
+    def run(env):
+        if env is None:
+            monkeypatch.delenv("SOT_TPU_W2_MERGE", raising=False)
+        else:
+            monkeypatch.setenv("SOT_TPU_W2_MERGE", env)
+
+        def loss(uu, vv):
+            return jnp.sum(wasserstein_same_grid(
+                grid, uu, vv, p=2.0, limit_quantile_range=True))
+
+        val = wasserstein_same_grid(grid, u, v, p=2.0,
+                                    limit_quantile_range=True)
+        gu, gv = jax.grad(loss, argnums=(0, 1))(u, v)
+        return np.asarray(val), np.asarray(gu), np.asarray(gv)
+
+    val_h, gu_h, gv_h = run("hybrid")
+    val_m, _, _ = run("1")
+    val_p, gu_p, gv_p = run(None)
+    np.testing.assert_allclose(val_h, val_m, rtol=0, atol=0)
+    # plane-kernel bwd vs dense-XLA autodiff: same convention, different
+    # f32 reduction orders
+    scale = float(np.abs(gu_p).max() + np.abs(gv_p).max()) + 1e-9
+    np.testing.assert_allclose(gu_h, gu_p, atol=1e-5 * scale)
+    np.testing.assert_allclose(gv_h, gv_p, atol=1e-5 * scale)
 
 
 def test_merge_env_dispatch_matches_general(monkeypatch):
