@@ -623,11 +623,11 @@ def wasserstein_same_grid(
         dg = gaug[1:] - gaug[:-1]
         return jnp.sum(jnp.abs(alpha[:, :-1] - beta[:, :-1]) * dg[None, :], -1)
 
-    if p == 2.0 and _use_merge_kernel() and (_use_pallas() or _interpret()):
+    merge_mode = ("off" if not (p == 2.0 and _use_merge_kernel()
+                                and (_use_pallas() or _interpret()))
+                  else _merge_mode())
+    if merge_mode == "full":
         # O(n log n) Pallas bitonic-merge coupling (ops/pallas/merge.py)
-        if _merge_mode() == "hybrid":
-            # merge forward + plane backward (reference-convention grads)
-            return _w2_merge_hybrid(alpha, beta, gaug, target_constant)
         from sot_tpu.ops.pallas.merge import sot_w2_merge
 
         return sot_w2_merge(alpha, beta, gaug,
@@ -638,19 +638,28 @@ def wasserstein_same_grid(
 
     if use_pallas is None:
         use_pallas = _use_pallas()
-    if use_pallas and rows >= 2 * _ROWS_PER_PROGRAM:
-        # The kernel's band limits are per 128-row block (AND over rows).
-        # Rows are per (clip, frame) and clips differ wildly in f0, so group
-        # similar rows: sort by the CDF's half-mass bin (differentiable
-        # gather; inverse-permute the per-row results after). Empirically
-        # this recovers most of the ~60% per-row-skippable work.
+
+    def _solve(al, be):
+        if merge_mode == "hybrid":
+            # merge forward + plane backward (reference-convention grads)
+            return _w2_merge_hybrid(al, be, gaug, target_constant)
+        return sot_bilinear(al, be, gaug, p=p, use_pallas=use_pallas,
+                            target_constant=target_constant)
+
+    if (use_pallas or merge_mode == "hybrid") and (
+            rows >= 2 * _ROWS_PER_PROGRAM):
+        # The plane kernel's band limits are per 128-row block (AND over
+        # rows).  Rows are per (clip, frame) and clips differ wildly in f0,
+        # so group similar rows: sort by the CDF's half-mass bin
+        # (differentiable gather; inverse-permute the per-row results
+        # after).  Empirically this recovers most of the ~60%
+        # per-row-skippable work.  The hybrid mode routes through the same
+        # grouping: its BACKWARD is the plane kernel and loses ~1.4 ms to
+        # loose bands on unsorted rows (on-chip round-3 measurement).
         key = jnp.sum((alpha < 0.5 * cap).astype(jnp.int32), axis=-1)
         order = jnp.argsort(key)
         inv = jnp.argsort(order)
-        w = sot_bilinear(jnp.take(alpha, order, axis=0),
-                         jnp.take(beta, order, axis=0),
-                         gaug, p=p, use_pallas=True,
-                         target_constant=target_constant)
+        w = _solve(jnp.take(alpha, order, axis=0),
+                   jnp.take(beta, order, axis=0))
         return jnp.take(w, inv)
-    return sot_bilinear(alpha, beta, gaug, p=p, use_pallas=use_pallas,
-                        target_constant=target_constant)
+    return _solve(alpha, beta)
