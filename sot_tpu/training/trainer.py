@@ -634,7 +634,9 @@ def train(
 
     best_lsd = float("inf")
     best_metrics: Dict[str, float] = {}
-    best_params = state.params
+    # copy, not reference: the donated epoch scan deletes these buffers
+    # (see the best-snapshot comment below)
+    best_params = jax.tree_util.tree_map(jnp.copy, state.params)
     t0 = time.time()
     samples_done = 0
 
@@ -678,7 +680,15 @@ def train(
             if lsd < best_lsd:
                 best_lsd = lsd
                 best_metrics = val
-                best_params = state.params
+                # deep-copy: the epoch scan DONATES its input state, so a
+                # bare reference to these buffers is deleted as soon as the
+                # next epoch dispatches.  A reference only survives when the
+                # best val happens at the final epoch — which is why the
+                # bug bit some seeds and not others (round-3 sweep: the
+                # post-training final eval crashed with "Array has been
+                # deleted" exactly on runs whose best LSD predated the last
+                # epoch).  ~184 KB per snapshot; negligible.
+                best_params = jax.tree_util.tree_map(jnp.copy, state.params)
                 if checkpoint_dir:
                     ckpt_lib.save(checkpoint_dir, state, step, tag="best-lsd")
 
