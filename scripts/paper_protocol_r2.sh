@@ -27,6 +27,20 @@ mkdir -p runs/round2/ref runs/round2/best results/round2/runs
 
 stop_check() { [ -f runs/round2/STOP ] && { echo "STOP file present, exiting"; exit 0; }; }
 
+# run_done <sub>: a run counts as complete when its live octcorr marker
+# exists OR the git-committed mirror holds the variant the paper table
+# actually reads (plain for column-A ref runs, comb for column-B). The
+# mirror check makes the queue itself wipe-resilient: after a container
+# reset, scripts/restore_run_mirror.py rebuilds the mirror from the
+# committed aggregate and the queue skips the ~29 already-finished runs.
+run_done() {
+  [ -f "runs/round2/$1/test_metrics_octcorr.json" ] && return 0
+  case "$1" in
+    ref/*|refextra/*) [ -f "results/round2/runs/$1/test_metrics.json" ] ;;
+    *)                [ -f "results/round2/runs/$1/test_metrics_comb.json" ] ;;
+  esac
+}
+
 # ab_done <json>: success iff the artifact exists AND carries the
 # completeness flag written after the LAST variant.
 ab_done() {
@@ -40,12 +54,18 @@ raise SystemExit(0 if d.get("complete") else 1)
 EOF
 }
 
-# persist_run <sub>: mirror a finished run's metrics into git-tracked results/
+# persist_run <sub>: mirror a finished run's metrics into git-tracked
+# results/ AND commit them immediately (round-3 postmortem: the mirror was
+# written but never committed, so the next container reset lost it anyway).
+# Pathspec-scoped commit so it can never sweep up unrelated staged work; a
+# lock collision with an interactive commit just defers to the next pass.
 persist_run() {
   local out="runs/round2/$1" dst="results/round2/runs/$1"
   mkdir -p "$dst"
   cp -f "$out"/test_metrics*.json "$dst"/ 2>/dev/null || true
   [ -f "$out/source_ckpt.txt" ] && cp -f "$out/source_ckpt.txt" "$dst/" || true
+  git add -- "$dst" >/dev/null 2>&1 || true
+  git commit -q -m "Mirror run metrics: $1" -- "$dst" >/dev/null 2>&1 || true
 }
 
 # persist_ckpt <sub>: keep the best-lsd checkpoint of table-headline runs
@@ -55,6 +75,8 @@ persist_ckpt() {
   [ -d "$src" ] || return 0
   mkdir -p "$(dirname "$dst")"
   rm -rf "$dst" && cp -r "$src" "$dst"
+  git add -- "$dst" >/dev/null 2>&1 || true
+  git commit -q -m "Persist best-lsd checkpoint: $1" -- "$dst" >/dev/null 2>&1 || true
 }
 
 # train_one <out-subdir> <experiment> <seed> [extra cli args...]
@@ -62,7 +84,7 @@ train_one() {
   local sub=$1 exp=$2 seed=$3; shift 3
   local out="runs/round2/$sub"
   stop_check
-  if [ -f "$out/test_metrics_octcorr.json" ]; then echo "skip $sub"; return 0; fi
+  if run_done "$sub"; then echo "skip $sub"; return 0; fi
   echo "=== train $sub ($exp seed $seed) $(date +%H:%M:%S) ==="
   for attempt in 1 2; do
     timeout 2700 python -m sot_tpu.cli train --experiment "$exp" --seed "$seed" \
@@ -96,7 +118,7 @@ evalonly() {
   local sub=$1 ckpt=$2
   local out="runs/round2/$sub"
   stop_check
-  if [ -f "$out/test_metrics_octcorr.json" ]; then echo "skip $sub"; return 0; fi
+  if run_done "$sub"; then echo "skip $sub"; return 0; fi
   if [ ! -d "$ckpt" ]; then echo "MISSING CKPT $ckpt"; return 1; fi
   echo "=== evalonly $sub <- $ckpt $(date +%H:%M:%S) ==="
   mkdir -p "$out"
@@ -131,6 +153,7 @@ evalonly_or_train() {
 comb_backfill() {
   local out="runs/round2/$1" ckpt
   [ -f "$out/test_metrics_comb.json" ] && return 0
+  [ -f "results/round2/runs/$1/test_metrics_comb.json" ] && return 0
   if [ -d "$out/checkpoints/best-lsd" ]; then ckpt="$out/checkpoints/best-lsd"
   elif [ -f "$out/source_ckpt.txt" ]; then ckpt=$(cat "$out/source_ckpt.txt")
   else echo "no ckpt for comb backfill $1"; return 0; fi

@@ -20,10 +20,20 @@ for s in "${SEEDS[@]}"; do
          "best/SOT-2048-SS-$s" "ref/MSS-Lin-$s" "ref/MSS-LogLin-$s")
 done
 
+# Same completion rule as paper_protocol_r2.sh:run_done — the live octcorr
+# marker OR the git-committed mirror's table-variant file (wipe resilience).
+run_done() {
+  [ -f "runs/round2/$1/test_metrics_octcorr.json" ] && return 0
+  case "$1" in
+    ref/*|refextra/*) [ -f "results/round2/runs/$1/test_metrics.json" ] ;;
+    *)                [ -f "results/round2/runs/$1/test_metrics_comb.json" ] ;;
+  esac
+}
+
 main_missing() {
   local n=0 t
   for t in "${MAIN[@]}"; do
-    [ -f "runs/round2/$t/test_metrics_octcorr.json" ] || { n=$((n + 1)); echo "  owed: $t"; }
+    run_done "$t" || { n=$((n + 1)); echo "  owed: $t"; }
   done
   return $n
 }
