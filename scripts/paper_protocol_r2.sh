@@ -176,6 +176,13 @@ if ! ab_done results/round2/sot_ab.json; then
   timeout 1800 python scripts/bench_sot_ab.py > results/round2/sot_ab.log 2>&1 \
     || echo "A/B FAIL rc=$? (see results/round2/sot_ab.log): $(tail -2 results/round2/sot_ab.log | head -1)"
 fi
+if ! ab_done results/round2/refgrad_ab.json; then
+  stop_check
+  echo "=== refgrad (ref-convention merge bwd) A/B $(date +%H:%M:%S) ==="
+  timeout 1800 python scripts/bench_refgrad_ab.py \
+    > results/round2/refgrad_ab.log 2>&1 \
+    || echo "A/B FAIL rc=$? (see results/round2/refgrad_ab.log): $(tail -2 results/round2/refgrad_ab.log | head -1)"
+fi
 if ! ab_done results/round2/conv_ab.json; then
   stop_check
   echo "=== conv kernel A/B $(date +%H:%M:%S) ==="

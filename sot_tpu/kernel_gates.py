@@ -44,6 +44,28 @@ _MSS_FILE = "mss_ab.json"
 # 'hybrid' — merge forward, plane backward, exact reference gradients.
 _MERGE_TRAIN_VERDICT = "merge_train_verdict.json"
 
+# 'ref' mode (ops/pallas/refgrad.py) replaces hybrid's plane backward with
+# an O(n log n) kernel computing the SAME gradient convention — so unlike
+# 'full' it needs no training verdict, only the refgrad A/B's on-chip
+# numerical parity check plus the usual speed margin.
+_REFGRAD_AB = "refgrad_ab.json"
+
+
+def _refgrad_upgrade(ab_dir: str) -> bool:
+    """hybrid -> ref when the refgrad A/B is complete, parity-checked, and
+    ref beats hybrid by the standard margin (grad side is where they
+    differ; totals compared for uniformity with the other gates)."""
+    try:
+        ab = json.load(open(os.path.join(ab_dir, _REFGRAD_AB)))
+    except Exception:  # noqa: BLE001 — A/B not run yet
+        return False
+    if not (ab.get("complete") and ab.get("parity", {}).get("ok")):
+        return False
+    ref, hyb = ab.get("ref", {}), ab.get("hybrid", {})
+    t_ref = ref.get("fwd_ms", 1e9) + ref.get("grad_ms", 1e9)
+    t_hyb = hyb.get("fwd_ms", 1e9) + hyb.get("grad_ms", 1e9)
+    return t_ref < 0.97 * t_hyb and t_hyb - t_ref >= 0.05
+
 
 def _full_merge_blessed(ab_dir: str) -> bool:
     try:
@@ -79,7 +101,8 @@ def auto_gates(ab_dir: str = "results/round2") -> Dict[str, str]:
                 gates[env] = "1"
             if "SOT_TPU_W2_MERGE" in envs:
                 if not _full_merge_blessed(ab_dir):
-                    gates["SOT_TPU_W2_MERGE"] = "hybrid"
+                    gates["SOT_TPU_W2_MERGE"] = (
+                        "ref" if _refgrad_upgrade(ab_dir) else "hybrid")
                 if cand.get("rows"):
                     gates["SOT_TPU_MERGE_ROWS"] = str(cand["rows"])
     if best_mss[0]:

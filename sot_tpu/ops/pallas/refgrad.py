@@ -1,0 +1,454 @@
+"""Reference-convention SOT backward in O(n log n) (the merge-route VJP).
+
+Round-3 established (PERF.md "gradient-convention lesson") that the O(n log n)
+merge kernel's min-halving subgradients — though exact for their convention —
+train measurably worse than the plane kernel's convention at the cap-tie
+kinks every real spectrum sits on, forcing the hybrid mode (merge forward +
+O(n^2/band) plane backward at ~3.8 ms, the step's dominant op).
+
+This module removes that compromise: it computes the PLANE KERNEL'S EXACT
+gradient convention (ops/pallas/sot.py:_bwd_kernel — the convention validated
+end-to-end against the torch reference, losses.py:223-313) in O(n log n),
+via nearest-neighbour rank queries instead of the n^2 plane.
+
+Derivation.  The plane backward for the target-constant training case is,
+per row, with q = beta_j, gamma_i = alpha_{i-1}, delta_j = beta_{j-1},
+d2(i, G) = (g_i - G)^2, ne_i = 1[alpha_i > gamma_i], vne_j = 1[beta_j >
+delta_j] (see _bwd_kernel: mask m = strict overlap, tie weights 0.5 on the
+min/max argument that ties):
+
+    db_j      = vne_j * inner1(q, g_j)
+    dd_{j+1}  = -vne_{j+1} * inner2(q, g_{j+1})
+    dbeta_j   = wbar * (db_j + dd_{j+1})
+    inner1(q, G) = sum_i P_i(G) 1[gamma_i < q] (1[q < alpha_i]
+                                                + 0.5 [q == alpha_i])
+    inner2(q, G) = sum_i P_i(G) 1[alpha_i > q] (1[gamma_i < q]
+                                                + 0.5 [gamma_i == q])
+
+with P_i(G) = ne_i (g_i - G)^2 expanded over the three payload channels
+P^m_i = ne_i g_i^m (m = 0, 1, 2).  Because alpha is a nondecreasing CDF and
+the payloads are ne-zeroed, both sums COLLAPSE to at most one element:
+
+  * bins are disjoint, so at most one nonzero bin strictly straddles q
+    (gamma < q < alpha) — its index is R_lt(q) = #{alpha < q};
+  * within a tied alpha-run (alpha_{R_lt} = .. = alpha_{R_le - 1} = q,
+    R_le(q) = #{alpha <= q}) every member after the first has
+    gamma = alpha = q, i.e. an empty bin with zero payload — so the run
+    contributes exactly 0.5 P_{R_lt} to inner1 (and kills the straddle
+    term: the first bin past the run has gamma == q, not < q);
+  * the gamma == q half-terms of inner2 reduce to 0.5 P_{R_le} (first bin
+    past the run) the same way.
+
+With F_hi = P_{R_lt}, F_lo = P_{R_le} (P_n := 0), tie = 1[alpha_{R_lt} == q]
+(a tie run exists at q), and the q == 0 boundary correction (gamma_0 = 0
+ties every q == 0 query; only bin 0 can carry payload there):
+
+    inner1 = F_hi (1 - 0.5 tie) - 1[q == 0] P_0
+    inner2 = 0.5 (F_hi + F_lo - 1[q == 0] P_0) - 0.5 F_hi tie
+
+EXACT closed forms in single payload elements — no prefix sums, hence no
+fp32 cancellation of large aggregates (the first formulation of this
+module reconstructed the inners from rank-prefix differences and lost
+~1e-4 relative accuracy to cancellation at balanced mass; regression-
+covered by tests/test_refgrad.py's v_mass = 1.0 cases).
+
+On TPU the F/tie queries come from a DESC bitonic merge of the RAW
+sequences per tie direction (alpha reversed as the descending arm, beta
+ascending — merge.py's valley with raw values instead of cap-complements,
+so tie classification is bit-identical to the plane kernel's raw
+comparisons): with a-above-b tie ranking the a-element nearest above b is
+exactly index R_lt (a log-step fill down the merged axis); with the
+reverse ranking it is R_le.  Filling the a-VALUE alongside the payloads
+gives the tie flag (nearest value == q).  The merge must be a TOTAL order
+(pre-merge valley position as final tiebreak): a bitonic network is not
+stable, and within a tied a-run only the head carries payload, so the fill
+must see the run in reversed-original order.  One gather-free stream
+compaction per pass returns the per-b fills to original beta order:
+O(n log n), no n^2 plane, no gathers, no large-magnitude scans.
+
+The kernel computes the TARGET-CONSTANT case only (the training path,
+trainer.py:110: the target spectrum carries no gradient); alpha-side
+cotangents keep using the plane kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .merge import (_ORIGIN_EPS, _iota, _log2, _next_pow2, _round_up,
+                    _rows, _scan_incl, _shift_down, _shift_up)
+from .sot import _interpret
+
+Array = jax.Array
+
+
+# ---------------------------------------------------------------------------
+# Dense oracle: a direct transcription of the plane backward's beta-side
+# (ops/pallas/sot.py:_bwd_kernel with alpha_grads=False), for tests only.
+# ---------------------------------------------------------------------------
+
+
+def plane_grad_beta_dense(alpha: Array, beta: Array, g: Array,
+                          wbar: Array) -> Array:
+    """O(n^2) jnp beta-cotangent with the plane kernel's exact convention."""
+    gamma = jnp.pad(alpha, ((0, 0), (1, 0)))[:, :-1]
+    delta = jnp.pad(beta, ((0, 0), (1, 0)))[:, :-1]
+    a_i = alpha[:, :, None]
+    c_i = gamma[:, :, None]
+    b_j = beta[:, None, :]
+    d_j = delta[:, None, :]
+    m = (jnp.minimum(a_i, b_j) > jnp.maximum(c_i, d_j)).astype(jnp.float32)
+    d2 = (g[:, None] - g[None, :]) ** 2                      # [i, j]
+    one_minus_wa = jnp.where(a_i > b_j, 1.0,
+                             jnp.where(a_i == b_j, 0.5, 0.0))
+    wc = jnp.where(c_i < d_j, 1.0, jnp.where(c_i == d_j, 0.5, 0.0))
+    db = jnp.sum(m * d2[None] * one_minus_wa, axis=1)        # [rows, j]
+    dd = -jnp.sum(m * d2[None] * wc, axis=1)
+    rows, n = alpha.shape
+    dd_next = jnp.concatenate(
+        [dd[:, 1:], jnp.zeros((rows, 1), dd.dtype)], axis=-1)
+    return wbar[:, None] * (db + dd_next)
+
+
+# ---------------------------------------------------------------------------
+# Closed-form assembly shared by the XLA and Pallas query backends.
+# ---------------------------------------------------------------------------
+
+
+def _combine(Q2, Q1, Q0, G):
+    """sum_i w_i (g_i - G)^2 from the three payload-channel query values."""
+    return Q2 - 2.0 * G * Q1 + (G * G) * Q0
+
+
+def _payloads(alpha: Array, g: Array):
+    gamma = jnp.pad(alpha, ((0, 0), (1, 0)))[:, :-1]
+    ne = (alpha > gamma).astype(jnp.float32)
+    return gamma, [ne, ne * g[None, :], ne * (g * g)[None, :]]
+
+
+def _assemble(f_hi, f_lo, tie, q, P, g, gnext, beta):
+    """dbeta columns (unweighted) from the F/tie queries at each q = beta_j.
+
+    f_hi/f_lo: per-channel lists of P_{R_lt} / P_{R_le}; tie: 1[a tie run
+    exists at q]; all [rows, k] aligned with the query columns q."""
+    q_zero = (q == 0.0).astype(jnp.float32)
+    p0 = [Pm[:, :1] for Pm in P]
+    inner1 = [fh * (1.0 - 0.5 * tie) - q_zero * p
+              for fh, p in zip(f_hi, p0)]
+    inner2 = [0.5 * (fh + fl - q_zero * p) - 0.5 * fh * tie
+              for fh, fl, p in zip(f_hi, f_lo, p0)]
+    t1 = _combine(inner1[2], inner1[1], inner1[0], g)
+    t2 = _combine(inner2[2], inner2[1], inner2[0], gnext)
+    rows, n = beta.shape
+    delta = jnp.pad(beta, ((0, 0), (1, 0)))[:, :-1]
+    vne = (beta > delta).astype(jnp.float32)
+    k = q.shape[1]
+    vne_next = jnp.concatenate(
+        [vne[:, 1:], jnp.zeros((rows, 1), vne.dtype)], axis=-1)
+    return vne[:, :k] * t1 - vne_next[:, :k] * t2
+
+
+def ref_grad_beta_xla(alpha: Array, beta: Array, g: Array,
+                      wbar: Array) -> Array:
+    """Rank-query form of ``plane_grad_beta_dense`` — O(n log n) jnp.
+
+    The general-backend implementation and the correctness contract for
+    the Pallas kernel: per-row searchsorted ranks, single-element payload
+    gathers, the closed-form assembly above.  Exact (no large-aggregate
+    arithmetic)."""
+    rows, n = alpha.shape
+    _, P = _payloads(alpha, g)
+    r_lt = jax.vmap(functools.partial(jnp.searchsorted, side="left"))(
+        alpha, beta)                                          # [rows, n]
+    r_le = jax.vmap(functools.partial(jnp.searchsorted, side="right"))(
+        alpha, beta)
+    tie = (r_le > r_lt).astype(jnp.float32)
+    f_hi, f_lo = [], []
+    for Pm in P:
+        P_pad = jnp.concatenate([Pm, jnp.zeros((rows, 1), Pm.dtype)], -1)
+        f_hi.append(jnp.take_along_axis(P_pad, r_lt, axis=-1))
+        f_lo.append(jnp.take_along_axis(P_pad, r_le, axis=-1))
+    gnext = jnp.concatenate([g[1:], g[-1:]])
+    db = _assemble(f_hi, f_lo, tie, beta, P, g[None, :], gnext[None, :],
+                   beta)
+    return wbar[:, None] * db
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel.  Two bitonic merges of the RAW CDF values (one per lex tie
+# direction — unlike the coupling kernel we merge raw alpha/beta, not their
+# cap-complements: a rounded complement can tie where the raw values do not,
+# and here tie classification IS the convention being reproduced), each
+# followed by a nearest-a fill of the three payload channels plus the
+# a-value, and one shared-displacement multi-channel compaction of the
+# per-b fills back to original beta order.
+#
+# Valley layout (merged DESCENDING): [alpha reversed (desc), -1 tail pads |
+# beta (asc) with -1 pads at its head].  Both streams therefore appear in
+# REVERSED original index order along the merged axis; order is restored
+# outside.  Origin channel sw: a-elements carry their P0 payload (>= 0 by
+# construction), pads -T/2, b-elements exactly -T (the coupling kernel's
+# origin encoding with zero b-weight; T = _ORIGIN_EPS).
+#
+# With tie=+1 (a ranks above tied b) the nearest a above each b is original
+# index R_lt = #{alpha < q}; with tie=-1 it is R_le = #{alpha <= q}.  The
+# merge carries the pre-merge valley position as a FINAL tiebreak (total
+# order, see _bitonic_merge_total) so tied a-runs stay in reversed-original
+# order and the fill sees the run head — the only member whose ne-zeroed
+# payload can be nonzero.
+#
+# The kernel covers i, j < m = n_aug - 2 (keeping the valley at the same
+# power-of-two length as the forward coupling kernel's); the two shaved
+# tail lanes and tail query columns are handled exactly, O(n), outside.
+# ---------------------------------------------------------------------------
+
+
+def _bitonic_merge_total(arrs, L: int, tie: int):
+    """merge._bitonic_merge with a FULL total order: ties on (key, origin)
+    are broken by the element's pre-merge valley position (arrs[2], unique),
+    lower position ranking higher.  A bitonic network is not stable — equal
+    (key, origin) runs can come out in any relative order — which is
+    harmless for prefix reads but NOT for the nearest-a payload fill below
+    (the run's members carry different payloads; only the run head's is
+    wanted).  A total order makes the output deterministic: tied a-runs
+    appear in reversed-original order, so the run member nearest a tied or
+    lower b is exactly the head P_{R_lt} / P_{R_le} the identity needs."""
+    t, sw, iv = arrs[0], arrs[1], arrs[2]
+    idx = _iota(t.shape)
+    for s in range(_log2(L), 0, -1):
+        d = 1 << (s - 1)
+        first = (idx & d) == 0
+        partner = [jnp.where(first, _shift_up(p, d), _shift_down(p, d))
+                   for p in arrs]
+        dt = jnp.where(first, t - partner[0], partner[0] - t)
+        ia_own = jnp.where(sw >= 0.0, 1.0, 0.0)
+        ia_par = jnp.where(partner[1] >= 0.0, 1.0, 0.0)
+        di = jnp.where(first, ia_own - ia_par, ia_par - ia_own)
+        if tie < 0:
+            di = -di
+        dv = jnp.where(first, partner[2] - iv, iv - partner[2])
+        take_own = (dt > 0.0) | ((dt == 0.0) & (
+            (di > 0.0) | ((di == 0.0) & (dv > 0.0))))
+        arrs = [jnp.where(take_own, own, par)
+                for own, par in zip(arrs, partner)]
+        t, sw, iv = arrs[0], arrs[1], arrs[2]
+    return arrs
+
+
+def _fill_down_multi(vals, seen: Array, L: int):
+    """fill[i] = val at the nearest index j <= i with seen[j] > 0 (0 if no
+    such j), for several channels sharing one seen stream.  log2(L)
+    shift-propagate steps on the sublane axis."""
+    idx = _iota(seen.shape)
+    outs = [jnp.where(seen > 0.0, v, 0.0) for v in vals]
+    have = jnp.where(seen > 0.0, 1.0, 0.0)
+    d = 1
+    while d < L:
+        have_d = _shift_down(have, d)
+        take = (idx >= d) & (have == 0.0) & (have_d > 0.0)
+        outs = [jnp.where(take, _shift_down(o, d), o) for o in outs]
+        have = jnp.where(take, have_d, have)
+        d *= 2
+    return outs
+
+
+def _compact_multi(vals, disp: Array, L: int):
+    """merge._compact generalized to several channels sharing one
+    displacement stream (the per-step routing logic runs once)."""
+    idx = _iota(disp.shape)
+    vals = list(vals)
+    for j in range(_log2(L)):
+        d = 1 << j
+        src_disp = _shift_up(disp, d)
+        recv_ok = idx < (L - d)
+        take = recv_ok & (src_disp >= 0) & ((src_disp & d) != 0)
+        keep = (disp >= 0) & ((disp & d) == 0)
+        vals = [jnp.where(take, _shift_up(v, d), v) for v in vals]
+        disp = jnp.where(take, src_disp - d, jnp.where(keep, disp, -1))
+    return vals
+
+
+def _refgrad_kernel(a_ref, asw_ref, b_ref, p1_ref, p2_ref,
+                    f0_ref, f1_ref, f2_ref, fv_ref=None,
+                    *, m8: int, M2: int, tie: int, with_value: bool):
+    """One tie direction: merge + nearest-a fills + compaction (see above).
+
+    a_ref: alpha REVERSED (descending) with -1 pads at its tail; asw_ref:
+    the a-side origin/P0 channel (P0 >= 0 at real elements, -T/2 at pads);
+    b_ref: beta ascending with -1 pads at its head; p1/p2: P_1, P_2 in the
+    same reversed-alpha order (0 at pads).  ``with_value`` additionally
+    fills the nearest-a VALUE (tie detection; hi pass only)."""
+    L = 2 * M2
+    b_vals = b_ref[:]
+    b_sw = jnp.where(b_vals >= 0.0, -_ORIGIN_EPS, -_ORIGIN_EPS / 2)
+    zeros_b = jnp.zeros_like(b_vals)
+    if M2 > m8:  # non-pow2 m8 (not the production shape): mid valley pads
+        r = b_vals.shape[1]
+        neg = jnp.full((M2 - m8, r), -1.0, jnp.float32)
+        zw = jnp.full((M2 - m8, r), -_ORIGIN_EPS / 2, jnp.float32)
+        zp = jnp.zeros((M2 - m8, r), jnp.float32)
+        t = jnp.concatenate([a_ref[:], neg, neg, b_vals], axis=0)
+        sw = jnp.concatenate([asw_ref[:], zw, zw, b_sw], axis=0)
+        pv1 = jnp.concatenate([p1_ref[:], zp, zp, zeros_b], axis=0)
+        pv2 = jnp.concatenate([p2_ref[:], zp, zp, zeros_b], axis=0)
+    else:
+        t = jnp.concatenate([a_ref[:], b_vals], axis=0)
+        sw = jnp.concatenate([asw_ref[:], b_sw], axis=0)
+        pv1 = jnp.concatenate([p1_ref[:], zeros_b], axis=0)
+        pv2 = jnp.concatenate([p2_ref[:], zeros_b], axis=0)
+
+    iv = _iota(t.shape).astype(jnp.float32)  # pre-merge valley position
+    t, sw, iv, pv1, pv2 = _bitonic_merge_total([t, sw, iv, pv1, pv2], L, tie)
+
+    isa = jnp.where(sw >= 0.0, 1.0, 0.0)
+    p0 = jnp.maximum(sw, 0.0)
+    fill_in = [p0, pv1, pv2] + ([t] if with_value else [])
+    fills = _fill_down_multi(fill_in, isa, L)
+
+    idx = _iota(sw.shape)
+    isb_f = jnp.where(sw <= -_ORIGIN_EPS, 1.0, 0.0)
+    cb = _scan_incl(isb_f, L)
+    disp = jnp.where(isb_f > 0.0, idx - cb.astype(jnp.int32) + 1, -1)
+    outs = _compact_multi(fills, disp, L)
+    refs = (f0_ref, f1_ref, f2_ref) + ((fv_ref,) if with_value else ())
+    for ref, v in zip(refs, outs):
+        ref[:] = v[:m8]
+
+
+def _refgrad_queries_pallas(alpha_k: Array, beta_k: Array, p0: Array,
+                            p1: Array, p2: Array):
+    """Run both tie passes over the kernel range.  Inputs [rows, m] in
+    ORIGINAL order (alpha_k/beta_k the truncated CDFs, p* the ne-zeroed
+    payload channels in alpha order); returns the per-channel nearest-a
+    fills (f_hi = P_{R_lt}, f_lo = P_{R_le}) and the hi-pass nearest-a
+    VALUE (fv_hi, for tie detection), each [rows, m] in ORIGINAL beta
+    order."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    rows, m = alpha_k.shape
+    m8 = _round_up(m, 8)
+    M2 = _next_pow2(m8)
+    R = _rows()
+    rows_p = _round_up(rows, R)
+    n_prog = rows_p // R
+
+    def pad_rows(x, fill):
+        return jnp.pad(x, ((0, rows_p - rows), (0, 0)), constant_values=fill)
+
+    # reversed alpha order, -1 tail pads (below every real value >= 0)
+    a_rev = jnp.pad(alpha_k[:, ::-1], ((0, 0), (0, m8 - m)),
+                    constant_values=-1.0)
+    asw = jnp.pad(p0[:, ::-1], ((0, 0), (0, m8 - m)),
+                  constant_values=-_ORIGIN_EPS / 2)
+    p1_rev = jnp.pad(p1[:, ::-1], ((0, 0), (0, m8 - m)))
+    p2_rev = jnp.pad(p2[:, ::-1], ((0, 0), (0, m8 - m)))
+    # beta ascending, -1 pads at the HEAD (valley bottom)
+    b_asc = jnp.pad(beta_k, ((0, 0), (m8 - m, 0)), constant_values=-1.0)
+
+    # padded rows: all sentinels — a valid valley with no a/b elements;
+    # their junk output lanes are sliced off below
+    a_rev = pad_rows(a_rev, -1.0).T
+    asw = pad_rows(asw, -_ORIGIN_EPS / 2).T
+    p1_rev = pad_rows(p1_rev, 0.0).T
+    p2_rev = pad_rows(p2_rev, 0.0).T
+    b_asc = pad_rows(b_asc, -1.0).T
+
+    col_spec = pl.BlockSpec((m8, R), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+
+    def run(tie, with_value):
+        n_out = 4 if with_value else 3
+        return pl.pallas_call(
+            functools.partial(_refgrad_kernel, m8=m8, M2=M2, tie=tie,
+                              with_value=with_value),
+            grid=(n_prog,),
+            in_specs=[col_spec] * 5,
+            out_specs=[col_spec] * n_out,
+            out_shape=[jax.ShapeDtypeStruct((m8, rows_p),
+                                            jnp.float32)] * n_out,
+            interpret=_interpret(),
+        )(a_rev, asw, b_asc, p1_rev, p2_rev)
+
+    hi = run(1, True)
+    lo = run(-1, False)
+
+    def unpack(outs):
+        # [m8, rows_p] -> [rows, m] in ORIGINAL beta order: compacted slots
+        # 0..m-1 hold b-elements in reversed-original order
+        return [o.T[:rows, :m][:, ::-1] for o in outs]
+
+    f_hi = unpack(hi[:3])
+    fv_hi = unpack(hi[3:])[0]
+    f_lo = unpack(lo)
+    return f_hi, f_lo, fv_hi
+
+
+def ref_grad_beta(alpha: Array, beta: Array, g: Array, wbar: Array) -> Array:
+    """Plane-convention beta cotangent in O(n log n) (Pallas on TPU).
+
+    Drop-in replacement for the [wbar-weighted] beta output of
+    ``ops.pallas.sot._pallas_bwd(..., alpha_grads=False)``:  same inputs
+    (augmented clipped CDFs [rows, n_aug], augmented grid) and the same
+    gradient convention, without the n^2/band plane."""
+    rows, n_aug = alpha.shape
+    m = n_aug - 2
+    gamma, P = _payloads(alpha, g)
+
+    f_hi, f_lo, fv_hi = _refgrad_queries_pallas(
+        alpha[:, :m], beta[:, :m], P[0][:, :m], P[1][:, :m], P[2][:, :m])
+
+    q = beta[:, :m]
+    tie = (fv_hi == q).astype(jnp.float32)
+    db_main = _assemble(f_hi, f_lo, tie, q, P, g[None, :m],
+                        g[None, 1 : m + 1], beta)
+
+    # shaved tail lanes i in {m, m+1}: exact O(n) row-broadcast terms of
+    # the inner sums (at most one can be nonzero per query; added outside
+    # the closed form, which covers i < m only)
+    delta = jnp.pad(beta, ((0, 0), (1, 0)))[:, :-1]
+    vne = (beta > delta).astype(jnp.float32)
+    vne_next = jnp.concatenate(
+        [vne[:, 1:], jnp.zeros((rows, 1), vne.dtype)], axis=-1)
+    for i in (m, m + 1):
+        ai = alpha[:, i : i + 1]
+        ci = gamma[:, i : i + 1]
+        w1 = jnp.where(ci < q, 1.0, 0.0) * (
+            jnp.where(q < ai, 1.0, 0.0) + 0.5 * jnp.where(q == ai, 1.0, 0.0))
+        w2 = jnp.where(ai > q, 1.0, 0.0) * (
+            jnp.where(ci < q, 1.0, 0.0) + 0.5 * jnp.where(ci == q, 1.0, 0.0))
+        i1 = [Pm[:, i : i + 1] * w1 for Pm in P]
+        i2 = [Pm[:, i : i + 1] * w2 for Pm in P]
+        db_main = db_main + (
+            vne[:, :m] * _combine(i1[2], i1[1], i1[0], g[None, :m])
+            - vne_next[:, :m] * _combine(i2[2], i2[1], i2[0],
+                                         g[None, 1 : m + 1]))
+
+    # tail query columns j in {m, m+1}: exact direct reductions over all i
+    cols = []
+    for j in (m, m + 1):
+        qv = beta[:, j : j + 1]
+        gj = g[j]
+        gj1 = g[j + 1] if j + 1 < n_aug else g[-1]
+        i1, i2 = [], []
+        for Pm in P:
+            w1 = jnp.where(gamma < qv, 1.0, 0.0) * (
+                jnp.where(qv < alpha, 1.0, 0.0)
+                + 0.5 * jnp.where(qv == alpha, 1.0, 0.0))
+            w2 = jnp.where(alpha > qv, 1.0, 0.0) * (
+                jnp.where(gamma < qv, 1.0, 0.0)
+                + 0.5 * jnp.where(gamma == qv, 1.0, 0.0))
+            i1.append(jnp.sum(Pm * w1, axis=-1))
+            i2.append(jnp.sum(Pm * w2, axis=-1))
+        t1c = _combine(i1[2], i1[1], i1[0], gj)
+        t2c = _combine(i2[2], i2[1], i2[0], gj1)
+        vne_j = vne[:, j]
+        vne_j1 = vne[:, j + 1] if j + 1 < n_aug else jnp.zeros_like(vne_j)
+        cols.append(vne_j * t1c - vne_j1 * t2c)
+
+    db = jnp.concatenate([db_main, cols[0][:, None], cols[1][:, None]],
+                         axis=-1)
+    return wbar[:, None] * db

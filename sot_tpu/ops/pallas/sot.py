@@ -522,7 +522,7 @@ def _use_sortmerge() -> bool:
 
 
 def _merge_mode() -> str:
-    """SOT_TPU_W2_MERGE: off | full | hybrid.
+    """SOT_TPU_W2_MERGE: off | full | hybrid | ref.
 
     'hybrid' pairs the O(n log n) merge FORWARD (values are
     convention-free and 7x faster than the plane kernel) with the plane
@@ -531,12 +531,19 @@ def _merge_mode() -> str:
     min-halving subgradients instead; real spectra sit exactly on the
     cap-tie kink manifold (the quantile cap is DEFINED as an attained CDF
     value), so the two conventions differ macroscopically there and only
-    training evidence can justify 'full' (see PERF.md, round 3)."""
+    training evidence can justify 'full' (see PERF.md, round 3).
+
+    'ref' upgrades hybrid: the backward is the O(n log n) merge-route
+    kernel of ops/pallas/refgrad.py, which reproduces the plane kernel's
+    EXACT gradient convention (rank-query identities; parity-tested at
+    the kinks), so it is training-safe by construction — no n^2 plane
+    anywhere.  Falls back to the plane backward when the target needs a
+    cotangent (non-training path)."""
     from sot_tpu.ops.numerics import env_flag
 
-    raw = os.environ.get("SOT_TPU_W2_MERGE", "")
-    if raw.strip().lower() == "hybrid":
-        return "hybrid"
+    raw = os.environ.get("SOT_TPU_W2_MERGE", "").strip().lower()
+    if raw in ("hybrid", "ref"):
+        return raw
     return "full" if env_flag("SOT_TPU_W2_MERGE") else "off"
 
 
@@ -567,6 +574,40 @@ def _w2_merge_hybrid_bwd(target_constant, res, wbar):
 
 
 _w2_merge_hybrid.defvjp(_w2_merge_hybrid_fwd, _w2_merge_hybrid_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _w2_merge_refbwd(alpha: Array, beta: Array, g: Array,
+                     target_constant: bool) -> Array:
+    """Merge forward + reference-convention merge-route backward: the
+    target-constant training case runs entirely in O(n log n) Pallas
+    (ops/pallas/refgrad.py reproduces the plane kernel's exact gradient
+    convention via rank queries); with a live target cotangent it falls
+    back to the plane backward for both sides."""
+    from sot_tpu.ops.pallas.merge import sot_w2_merge
+
+    return sot_w2_merge(alpha, beta, g, target_constant=target_constant)
+
+
+def _w2_merge_refbwd_fwd(alpha, beta, g, target_constant):
+    from sot_tpu.ops.pallas.merge import sot_w2_merge
+
+    value = sot_w2_merge(alpha, beta, g, target_constant=target_constant)
+    return value, (alpha, beta, g)
+
+
+def _w2_merge_refbwd_bwd(target_constant, res, wbar):
+    alpha, beta, g = res
+    if target_constant:
+        from sot_tpu.ops.pallas.refgrad import ref_grad_beta
+
+        db = ref_grad_beta(alpha, beta, g, wbar)
+        return jnp.zeros_like(alpha), db, jnp.zeros_like(g)
+    da, db = _pallas_bwd(alpha, beta, g, 2.0, wbar, alpha_grads=True)
+    return da, db, jnp.zeros_like(g)
+
+
+_w2_merge_refbwd.defvjp(_w2_merge_refbwd_fwd, _w2_merge_refbwd_bwd)
 
 
 # ---------------------------------------------------------------------------
@@ -632,6 +673,13 @@ def wasserstein_same_grid(
 
         return sot_w2_merge(alpha, beta, gaug,
                             target_constant=target_constant)
+
+    if merge_mode == "ref":
+        if target_constant:
+            # fully O(n log n): merge fwd + reference-convention merge bwd
+            # (no banded plane anywhere -> no row grouping needed)
+            return _w2_merge_refbwd(alpha, beta, gaug, True)
+        merge_mode = "hybrid"  # plane bwd for the target cotangent
 
     if p == 2.0 and _use_sortmerge():
         return _sot_w2_sortmerge(alpha, beta, gaug)

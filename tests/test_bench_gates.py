@@ -47,6 +47,43 @@ def test_full_merge_needs_training_verdict():
     assert auto_gates() == {"SOT_TPU_W2_MERGE": "1"}
 
 
+def test_refgrad_upgrade_needs_parity_and_margin():
+    # a merge A/B win normally lands on 'hybrid'; a complete refgrad A/B
+    # with on-chip parity AND the standard speed margin upgrades to 'ref'
+    _write("sot_ab.json", {"plane": {"fwd_ms": 2.4, "grad_ms": 3.8},
+                           "merge": {"fwd_ms": 0.4, "grad_ms": 0.9}})
+    _write("refgrad_ab.json", {
+        "complete": True, "parity": {"max_rel": 2e-6, "ok": True},
+        "hybrid": {"fwd_ms": 0.43, "grad_ms": 3.8},
+        "ref": {"fwd_ms": 0.43, "grad_ms": 1.5}})
+    assert auto_gates() == {"SOT_TPU_W2_MERGE": "ref"}
+    # parity failure -> stay on hybrid no matter the speed
+    _write("refgrad_ab.json", {
+        "complete": True, "parity": {"max_rel": 0.2, "ok": False},
+        "hybrid": {"fwd_ms": 0.43, "grad_ms": 3.8},
+        "ref": {"fwd_ms": 0.43, "grad_ms": 1.5}})
+    assert auto_gates() == {"SOT_TPU_W2_MERGE": "hybrid"}
+    # incomplete (timeout mid-variant) -> hybrid
+    _write("refgrad_ab.json", {
+        "parity": {"max_rel": 2e-6, "ok": True},
+        "hybrid": {"fwd_ms": 0.43, "grad_ms": 3.8},
+        "ref": {"fwd_ms": 0.43, "grad_ms": 1.5}})
+    assert auto_gates() == {"SOT_TPU_W2_MERGE": "hybrid"}
+    # ref slower than hybrid -> hybrid
+    _write("refgrad_ab.json", {
+        "complete": True, "parity": {"max_rel": 2e-6, "ok": True},
+        "hybrid": {"fwd_ms": 0.43, "grad_ms": 3.8},
+        "ref": {"fwd_ms": 0.43, "grad_ms": 4.5}})
+    assert auto_gates() == {"SOT_TPU_W2_MERGE": "hybrid"}
+    # a blessed FULL verdict outranks the ref upgrade (full is faster)
+    _write("refgrad_ab.json", {
+        "complete": True, "parity": {"max_rel": 2e-6, "ok": True},
+        "hybrid": {"fwd_ms": 0.43, "grad_ms": 3.8},
+        "ref": {"fwd_ms": 0.43, "grad_ms": 1.5}})
+    _write("merge_train_verdict.json", {"full_ok": True})
+    assert auto_gates() == {"SOT_TPU_W2_MERGE": "1"}
+
+
 def test_loser_and_errored_candidates_stay_off():
     _write("sot_ab.json", {"plane": {"fwd_ms": 1.0, "grad_ms": 1.0},
                            "merge": {"fwd_ms": 2.0, "grad_ms": 2.0}})
