@@ -29,6 +29,52 @@ def _auto_gates() -> dict:
     return auto_gates("results/round2")
 
 
+def _sweep_train_pids() -> list:
+    """PIDs of this repo's own `sot_tpu.cli train` sweep runs (exact-cmdline
+    match via /proc; used only for SIGSTOP/SIGCONT pausing, never kill)."""
+    pids = []
+    for entry in os.listdir("/proc"):
+        if not entry.isdigit() or int(entry) == os.getpid():
+            continue
+        try:
+            with open(f"/proc/{entry}/cmdline", "rb") as f:
+                argv = f.read().split(b"\0")
+        except OSError:
+            continue
+        if b"sot_tpu.cli" in argv and b"train" in argv:
+            pids.append(int(entry))
+    return pids
+
+
+class _PauseSweep:
+    """SIGSTOP any in-flight sweep training for the timed window so its
+    ~0.6 s epoch dispatches don't interleave with the 13 ms bench steps
+    (single shared TPU). SIGCONT in __exit__ — the run resumes losslessly."""
+
+    def __enter__(self):
+        import signal
+
+        self.pids = _sweep_train_pids()
+        for pid in self.pids:
+            try:
+                os.kill(pid, signal.SIGSTOP)
+            except OSError:
+                pass
+        if self.pids:
+            time.sleep(2.0)  # let the in-flight epoch dispatch drain
+        return self
+
+    def __exit__(self, *exc):
+        import signal
+
+        for pid in self.pids:
+            try:
+                os.kill(pid, signal.SIGCONT)
+            except OSError:
+                pass
+        return False
+
+
 def _run_bench():
     import jax
     import jax.numpy as jnp
@@ -81,13 +127,15 @@ def main() -> None:
     gates = _auto_gates()
     os.environ.update(gates)
     try:
-        result = _run_bench()
+        with _PauseSweep():
+            result = _run_bench()
     except Exception:  # noqa: BLE001 — fall back to the gate-free baseline
         if not gates:
             raise
         for k in gates:
             os.environ.pop(k, None)
-        result = _run_bench()
+        with _PauseSweep():
+            result = _run_bench()
         gates = {"failed": list(gates)}
     result["kernel_gates"] = gates
     print(json.dumps(result))

@@ -22,6 +22,8 @@ persist_run() {
   local out="runs/round2/$1" dst="results/round2/runs/$1"
   mkdir -p "$dst"
   cp -f "$out"/test_metrics*.json "$dst"/ 2>/dev/null || true
+  git add -- "$dst" >/dev/null 2>&1 || true
+  git commit -q -m "Mirror run metrics: $1" -- "$dst" >/dev/null 2>&1 || true
 }
 
 persist_ckpt() {

@@ -362,6 +362,16 @@ def _refgrad_queries_pallas(alpha_k: Array, beta_k: Array, p0: Array,
 
     def run(tie, with_value):
         n_out = 4 if with_value else 3
+        # The 5-channel total-order merge + fills + compaction need a
+        # scoped-VMEM stack far over Mosaic's 16 MB default at the
+        # production shape (M2=1024, R=128): the on-chip OOM reports ask
+        # for 26 MB standalone and 41.6 MB when the backward is embedded
+        # in the full jitted train step (the request itself grows with
+        # the allowed limit / surrounding schedule).  Physical v5e VMEM
+        # is 128 MB and this kernel runs alone on its core, so raise the
+        # per-kernel cap generously instead of spilling phases through
+        # HBM.
+        vmem_cap = min(52 * (2 * M2) * R * 4 + (6 << 20), 100 << 20)
         return pl.pallas_call(
             functools.partial(_refgrad_kernel, m8=m8, M2=M2, tie=tie,
                               with_value=with_value),
@@ -370,6 +380,8 @@ def _refgrad_queries_pallas(alpha_k: Array, beta_k: Array, p0: Array,
             out_specs=[col_spec] * n_out,
             out_shape=[jax.ShapeDtypeStruct((m8, rows_p),
                                             jnp.float32)] * n_out,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=vmem_cap),
             interpret=_interpret(),
         )(a_rev, asw, b_asc, p1_rev, p2_rev)
 
