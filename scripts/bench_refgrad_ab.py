@@ -42,14 +42,19 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--k", type=int, default=16)
+    ap.add_argument("--n-fft", type=int, default=2048,
+                    help="loss-STFT size (512 for the SOT-512 families); "
+                         "non-default writes refgrad_ab_<n_fft>.json")
     args = ap.parse_args()
+    out_path = ("results/round2/refgrad_ab.json" if args.n_fft == 2048
+                else f"results/round2/refgrad_ab_{args.n_fft}.json")
 
     import jax
     import jax.numpy as jnp
 
     from sot_tpu.ops.pallas.sot import wasserstein_same_grid
 
-    grid, us, v = build_data(args.k)
+    grid, us, v = build_data(args.k, args.n_fft)
     results = {"device": str(jax.devices()[0]),
                "rows": int(v.shape[0]), "bins": int(v.shape[1]),
                "k": args.k, "iters": args.iters}
@@ -100,11 +105,11 @@ def main() -> None:
         finally:
             os.environ.pop("SOT_TPU_W2_MERGE", None)
         os.makedirs("results/round2", exist_ok=True)
-        with open("results/round2/refgrad_ab.json", "w") as f:
+        with open(out_path, "w") as f:
             json.dump(results, f, indent=1)
 
     results["complete"] = True
-    with open("results/round2/refgrad_ab.json", "w") as f:
+    with open(out_path, "w") as f:
         json.dump(results, f, indent=1)
     print(json.dumps(results))
 

@@ -35,7 +35,7 @@ print(f"# exe={sys.executable} cwd={os.getcwd()} file={__file__}",
       file=sys.stderr, flush=True)
 
 
-def build_data(k: int):
+def build_data(k: int, n_fft: int = 2048):
     import jax.numpy as jnp
     import numpy as np
 
@@ -46,9 +46,9 @@ def build_data(k: int):
         signals, _, _ = data_lib.generate_sinusoid_dataset(
             seed=seed, size=64, n_samples=4096, render_batch=64)
         x = jnp.asarray(data_lib.peak_normalize(signals))
-        s = stft_magnitude(x, size=2048, overlap=1 - 256 / 2048,
+        s = stft_magnitude(x, size=n_fft, overlap=1 - 256 / n_fft,
                            window="flattop")
-        return s.reshape(-1, s.shape[-1])  # [1024, 1025]
+        return s.reshape(-1, s.shape[-1])  # [B*frames, n_fft//2+1]
 
     v = spectra(0)
     us = jnp.stack([spectra(100 + i) for i in range(k)])
@@ -109,11 +109,16 @@ def main() -> None:
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--k", type=int, default=16)
     ap.add_argument("--variants", default="plane,sortmerge,merge,hybrid")
+    ap.add_argument("--n-fft", type=int, default=2048,
+                    help="loss-STFT size (512 for the SOT-512 families); "
+                         "non-default writes sot_ab_<n_fft>.json")
     args = ap.parse_args()
+    out_name = ("sot_ab.json" if args.n_fft == 2048
+                else f"sot_ab_{args.n_fft}.json")
 
     import jax
 
-    grid, us, v = build_data(args.k)
+    grid, us, v = build_data(args.k, args.n_fft)
     results = {"device": str(jax.devices()[0]),
                "rows": int(v.shape[0]), "bins": int(v.shape[1]),
                "k": args.k, "iters": args.iters}
@@ -155,14 +160,14 @@ def main() -> None:
         # incremental write: a timeout mid-variant must not lose the
         # numbers already measured (the file is the bench-gate artifact)
         os.makedirs("results/round2", exist_ok=True)
-        with open("results/round2/sot_ab.json", "w") as f:
+        with open(f"results/round2/{out_name}", "w") as f:
             json.dump(results, f, indent=1)
 
     # Completeness flag: the queue's done-marker requires this, so a
     # timeout mid-variant can never permanently satisfy the gate (round-2
     # postmortem: a partial file with only 'plane' blocked the merge A/B).
     results["complete"] = True
-    with open("results/round2/sot_ab.json", "w") as f:
+    with open(f"results/round2/{out_name}", "w") as f:
         json.dump(results, f, indent=1)
     print(json.dumps(results))
 

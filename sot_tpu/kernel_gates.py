@@ -45,26 +45,64 @@ _MSS_FILE = "mss_ab.json"
 _MERGE_TRAIN_VERDICT = "merge_train_verdict.json"
 
 # 'ref' mode (ops/pallas/refgrad.py) replaces hybrid's plane backward with
-# an O(n log n) kernel computing the SAME gradient convention — so unlike
-# 'full' it needs no training verdict, only the refgrad A/B's on-chip
-# numerical parity check plus the usual speed margin.
+# an O(n log n) kernel computing the SAME gradient convention, adopted on
+# the refgrad A/B's on-chip parity check plus the usual speed margin — and,
+# since round 4, additionally confirmed end-to-end by twin 25k training
+# runs (refgrad_train_verdict.json; a negative verdict there demotes ref
+# back to hybrid even when parity+speed pass, per the round-3 lesson that
+# point parity cannot always certify training behaviour).
 _REFGRAD_AB = "refgrad_ab.json"
+_REFGRAD_TRAIN_VERDICT = "refgrad_train_verdict.json"
 
 
 def _refgrad_upgrade(ab_dir: str) -> bool:
-    """hybrid -> ref when the refgrad A/B is complete, parity-checked, and
-    ref beats hybrid by the standard margin (grad side is where they
-    differ; totals compared for uniformity with the other gates)."""
+    """hybrid -> ref when the refgrad A/B is complete, parity-checked, ref
+    beats hybrid by the standard margin (grad side is where they differ;
+    totals compared for uniformity with the other gates), and the training
+    verdict — when one is committed — is not negative."""
     try:
         ab = json.load(open(os.path.join(ab_dir, _REFGRAD_AB)))
     except Exception:  # noqa: BLE001 — A/B not run yet
         return False
     if not (ab.get("complete") and ab.get("parity", {}).get("ok")):
         return False
+    try:
+        verdict = json.load(open(os.path.join(ab_dir, _REFGRAD_TRAIN_VERDICT)))
+        if not verdict.get("ref_ok"):
+            return False
+    except Exception:  # noqa: BLE001 — no training verdict yet: parity rules
+        pass
     ref, hyb = ab.get("ref", {}), ab.get("hybrid", {})
     t_ref = ref.get("fwd_ms", 1e9) + ref.get("grad_ms", 1e9)
     t_hyb = hyb.get("fwd_ms", 1e9) + hyb.get("grad_ms", 1e9)
     return t_ref < 0.97 * t_hyb and t_hyb - t_ref >= 0.05
+
+
+def _small_shape_mode(ab_dir: str) -> str:
+    """Winner at the SOT-512 families' shape ([rows x 257]), from the
+    committed 512-shape A/Bs (sot_ab_512.json / refgrad_ab_512.json).
+    Round-4 finding: the plane backward is cheap at n=257 so hybrid beats
+    ref there — the dispatcher honours SOT_TPU_W2_MERGE_SMALL for rows of
+    <= SOT_TPU_W2_SMALL_N bins. Returns '' when the 512 A/Bs are absent
+    or parity failed (then the main gate applies at every shape)."""
+    try:
+        ab = json.load(open(os.path.join(ab_dir, "refgrad_ab_512.json")))
+    except Exception:  # noqa: BLE001 — 512-shape A/B not run
+        return ""
+    if not (ab.get("complete") and ab.get("parity", {}).get("ok")):
+        return ""
+
+    def total(d):
+        return d.get("fwd_ms", 1e9) + d.get("grad_ms", 1e9)
+
+    ref, hyb = total(ab.get("ref", {})), total(ab.get("hybrid", {}))
+    # same adoption margin as everywhere else; within noise -> follow the
+    # main gate (return '') rather than pinning a second mode
+    if hyb < 0.97 * ref and ref - hyb >= 0.05:
+        return "hybrid"
+    if ref < 0.97 * hyb and hyb - ref >= 0.05:
+        return "ref"
+    return ""
 
 
 def _full_merge_blessed(ab_dir: str) -> bool:
@@ -105,6 +143,10 @@ def auto_gates(ab_dir: str = "results/round2") -> Dict[str, str]:
                         "ref" if _refgrad_upgrade(ab_dir) else "hybrid")
                 if cand.get("rows"):
                     gates["SOT_TPU_MERGE_ROWS"] = str(cand["rows"])
+                small = _small_shape_mode(ab_dir)
+                if (small and small != gates["SOT_TPU_W2_MERGE"]
+                        and "SOT_TPU_W2_MERGE_SMALL" not in os.environ):
+                    gates["SOT_TPU_W2_MERGE_SMALL"] = small
     if best_mss[0]:
         for env in best_mss[0]:
             gates[env] = "1"

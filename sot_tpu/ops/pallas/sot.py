@@ -521,8 +521,16 @@ def _use_sortmerge() -> bool:
     return env_flag("SOT_TPU_W2_SORTMERGE")
 
 
-def _merge_mode() -> str:
+def _merge_mode(n_bins: int | None = None) -> str:
     """SOT_TPU_W2_MERGE: off | full | hybrid | ref.
+
+    Per-shape override (round-4 A/B finding): at the SOT-512 families'
+    shape ([rows x 257]) the plane backward is cheap enough that hybrid
+    BEATS ref (0.570 vs 0.630 ms total, results/round2/refgrad_ab_512.json)
+    — the merge-route backward's log-factor overhead only pays off at
+    large n. When ``SOT_TPU_W2_MERGE_SMALL`` is set and the row length is
+    <= SOT_TPU_W2_SMALL_N (default 512 bins), it overrides the main gate;
+    kernel_gates emits it from the committed 512-shape A/Bs.
 
     'hybrid' pairs the O(n log n) merge FORWARD (values are
     convention-free and 7x faster than the plane kernel) with the plane
@@ -541,6 +549,11 @@ def _merge_mode() -> str:
     cotangent (non-training path)."""
     from sot_tpu.ops.numerics import env_flag
 
+    if n_bins is not None and n_bins <= int(
+            os.environ.get("SOT_TPU_W2_SMALL_N", "512")):
+        small = os.environ.get("SOT_TPU_W2_MERGE_SMALL", "").strip().lower()
+        if small in ("off", "full", "hybrid", "ref"):
+            return small
     raw = os.environ.get("SOT_TPU_W2_MERGE", "").strip().lower()
     if raw in ("hybrid", "ref"):
         return raw
@@ -664,9 +677,10 @@ def wasserstein_same_grid(
         dg = gaug[1:] - gaug[:-1]
         return jnp.sum(jnp.abs(alpha[:, :-1] - beta[:, :-1]) * dg[None, :], -1)
 
-    merge_mode = ("off" if not (p == 2.0 and _use_merge_kernel()
+    mode_n = _merge_mode(n_bins=n)
+    merge_mode = ("off" if not (p == 2.0 and mode_n != "off"
                                 and (_use_pallas() or _interpret()))
-                  else _merge_mode())
+                  else mode_n)
     if merge_mode == "full":
         # O(n log n) Pallas bitonic-merge coupling (ops/pallas/merge.py)
         from sot_tpu.ops.pallas.merge import sot_w2_merge
