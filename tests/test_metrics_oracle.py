@@ -186,8 +186,5 @@ def test_boundary_convention_documented():
     want = _raw_pitch_accuracy(voicing, _hz2cents(true64),
                                voicing, _hz2cents(pred64))
     assert want == 0.0  # vendored mir_eval formula: exclusive boundary
-    # fp32 representability: the offset lands strictly off the boundary
-    diff32 = float(
-        metrics.hz_to_cents(np.float32(pred64[0]))
-        - metrics.hz_to_cents(np.float32(true64[0])))
-    assert diff32 != 50.0
+    got = float(metrics.raw_pitch_accuracy(pred64, true64))
+    assert got == 1.0  # sot_tpu: inclusive boundary
