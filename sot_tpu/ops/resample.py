@@ -5,8 +5,10 @@ Two methods used by the synth (reference synths.py:106-112):
                  (ddsp.py:121-205). Re-derived here without `F.fold`: with
                  50% overlapping windows the OLA collapses to one reshape +
                  one add (exact same output, TPU-friendly, no scatter).
-  * 'bilinear'/'nearest' — torch F.interpolate parity (align_corners =
-                 not add_endpoint) for frequency envelopes (ddsp.py:93-104).
+  * 'bilinear'/'bicubic'/'nearest' — torch F.interpolate parity
+                 (align_corners = not add_endpoint) for frequency
+                 envelopes (ddsp.py:93-104); bicubic is a static Keys
+                 interpolation matrix applied on the MXU.
 """
 
 from __future__ import annotations
@@ -80,6 +82,42 @@ def _interp_linear(inputs: Array, n_timesteps: int, align_corners: bool) -> Arra
     return x_lo + frac * (x_hi - x_lo)
 
 
+def _cubic_kernel(t: np.ndarray, a: float = -0.75) -> np.ndarray:
+    """Keys cubic convolution weights, torch's a=-0.75 variant."""
+    at = np.abs(t)
+    w1 = (a + 2.0) * at**3 - (a + 3.0) * at**2 + 1.0          # |t| <= 1
+    w2 = a * at**3 - 5.0 * a * at**2 + 8.0 * a * at - 4.0 * a  # 1 < |t| < 2
+    return np.where(at <= 1.0, w1, np.where(at < 2.0, w2, 0.0))
+
+
+def _interp_cubic(inputs: Array, n_timesteps: int, align_corners: bool) -> Array:
+    """1D bicubic interpolation along axis 1, torch F.interpolate parity
+    (reference ddsp.py:96-104 with method='bicubic').
+
+    Border semantics match torch: the source coordinate is NOT clamped
+    (fractions stay real near the edges); each of the 4 taps clamps its
+    index to [0, n-1] (edge replication). All coordinates are static, so
+    the whole interpolation collapses to one [n_timesteps, n_frames]
+    constant matrix applied on the MXU — no gathers at runtime."""
+    n_frames = inputs.shape[1]
+    if align_corners and n_frames > 1:
+        coords = np.linspace(0.0, n_frames - 1, n_timesteps, dtype=np.float64)
+    elif align_corners:
+        coords = np.zeros(n_timesteps, dtype=np.float64)
+    else:
+        scale = n_frames / n_timesteps
+        coords = (np.arange(n_timesteps, dtype=np.float64) + 0.5) * scale - 0.5
+    lo = np.floor(coords).astype(np.int64)
+    frac = coords - lo
+    mat = np.zeros((n_timesteps, n_frames), dtype=np.float64)
+    for k in range(-1, 3):
+        idx = np.clip(lo + k, 0, n_frames - 1)
+        w = _cubic_kernel(frac - k)
+        np.add.at(mat, (np.arange(n_timesteps), idx), w)
+    mat32 = jnp.asarray(mat.astype(np.float32))
+    return jnp.einsum("tf,bfc->btc", mat32, inputs)
+
+
 def _interp_nearest(inputs: Array, n_timesteps: int) -> Array:
     n_frames = inputs.shape[1]
     scale = n_frames / n_timesteps
@@ -106,11 +144,14 @@ def resample(inputs: Array, n_timesteps: int, method: str = "bilinear",
         outputs = upsample_with_windows(inputs, n_timesteps, add_endpoint)
     elif method == "bilinear":
         outputs = _interp_linear(inputs, n_timesteps, align_corners=not add_endpoint)
+    elif method == "bicubic":
+        outputs = _interp_cubic(inputs, n_timesteps, align_corners=not add_endpoint)
     elif method == "nearest":
         outputs = _interp_nearest(inputs, n_timesteps)
     else:
         raise ValueError(
-            f"Method ({method}) is invalid. Must be one of ['nearest', 'bilinear', 'window']."
+            f"Method ({method}) is invalid. Must be one of "
+            f"['nearest', 'bilinear', 'bicubic', 'window']."
         )
 
     if is_1d:

@@ -132,6 +132,40 @@ def test_resample_bilinear_align_corners():
     np.testing.assert_allclose(mine, ref, atol=1e-5)
 
 
+def test_resample_bicubic_matches_torch_interpolate():
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((2, 16, 4)).astype(np.float32)
+    mine = resample(jnp.asarray(x), 4096, method="bicubic", add_endpoint=True)
+    xt = torch.as_tensor(x).permute(0, 2, 1)[:, :, :, None]
+    ref = torch.nn.functional.interpolate(
+        xt, size=[4096, 1], mode="bicubic", align_corners=False
+    )[:, :, :, 0].permute(0, 2, 1).numpy()
+    np.testing.assert_allclose(mine, ref, atol=1e-5)
+
+
+def test_resample_bicubic_align_corners():
+    rng = np.random.default_rng(6)
+    x = rng.standard_normal((1, 8, 2)).astype(np.float32)
+    mine = resample(jnp.asarray(x), 64, method="bicubic", add_endpoint=False)
+    xt = torch.as_tensor(x).permute(0, 2, 1)[:, :, :, None]
+    ref = torch.nn.functional.interpolate(
+        xt, size=[64, 1], mode="bicubic", align_corners=True
+    )[:, :, :, 0].permute(0, 2, 1).numpy()
+    np.testing.assert_allclose(mine, ref, atol=1e-5)
+
+
+def test_resample_bicubic_downsample_matches_torch():
+    # downsampling exercises negative/out-of-range tap coords (border clamp)
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((2, 64, 3)).astype(np.float32)
+    mine = resample(jnp.asarray(x), 24, method="bicubic", add_endpoint=True)
+    xt = torch.as_tensor(x).permute(0, 2, 1)[:, :, :, None]
+    ref = torch.nn.functional.interpolate(
+        xt, size=[24, 1], mode="bicubic", align_corners=False
+    )[:, :, :, 0].permute(0, 2, 1).numpy()
+    np.testing.assert_allclose(mine, ref, atol=1e-5)
+
+
 def test_resample_rank_handling():
     x = jnp.linspace(0.0, 1.0, 16)
     assert resample(x, 64).shape == (64,)
