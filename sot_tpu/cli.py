@@ -211,6 +211,24 @@ def _coerce_saved_config(experiment: str, saved: dict) -> dict:
     return out
 
 
+def _restore_any(ckpt: str, state):
+    """Restore params from either an Orbax run checkpoint (directory, the
+    native format) or a reference torch/Lightning checkpoint FILE
+    (.ckpt/.pt/.pth — reference eval_paper.py:22-51 releases these); the
+    latter imports encoder weights via models.import_torch, enabling
+    paper-table reproduction from the published artifacts."""
+    import os as _os
+
+    if _os.path.isfile(ckpt):
+        from sot_tpu.models.import_torch import load_from_reference_ckpt
+
+        params = load_from_reference_ckpt(state.params, ckpt)
+        return state._replace(params=params), 0
+    from sot_tpu.training import checkpoint as ckpt_lib
+
+    return ckpt_lib.restore(ckpt, state)
+
+
 def _config_for_ckpt(args) -> "object":
     """Resolve the experiment config for an evaluation/analysis command.
 
@@ -249,7 +267,7 @@ def cmd_evaluate(args: argparse.Namespace) -> int:
     mod = build_modules(cfg)
     state = init_state(mod, jax.random.key(0))
     if args.ckpt:
-        state, _ = ckpt_lib.restore(args.ckpt, state)
+        state, _ = _restore_any(args.ckpt, state)
     splits = data_lib.dataset_from_config(cfg)
     eval_step = make_eval_step(mod)
     if args.split not in splits:
@@ -300,7 +318,7 @@ def cmd_predict(args: argparse.Namespace) -> int:
     mod = build_modules(cfg)
     state = init_state(mod, jax.random.key(0))
     if args.ckpt:
-        state, _ = ckpt_lib.restore(args.ckpt, state)
+        state, _ = _restore_any(args.ckpt, state)
 
     x = _load_audio(args.input)
     if not args.no_normalize:
@@ -359,7 +377,7 @@ def cmd_analyze(args: argparse.Namespace) -> int:
     cfg = _config_for_ckpt(args)
     mod = build_modules(cfg)
     state = init_state(mod, jax.random.key(0))
-    state, _ = ckpt_lib.restore(args.ckpt, state)
+    state, _ = _restore_any(args.ckpt, state)
     splits = data_lib.dataset_from_config(cfg)
     split = splits[args.split]
 
