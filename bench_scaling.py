@@ -72,8 +72,15 @@ def main(tiny: bool | None = None, force_cpu: bool = False) -> None:
     state = init_state(mod, rng)
     sps_1 = _measure(make_train_step(mod), state, all_x[:per_chip_batch], rng)
 
+    # Honesty guard (round-4 VERDICT task 9): an "efficiency" measured
+    # across VIRTUAL devices sharing host cores is pure resource contention
+    # wearing a scaling metric's name. Only real multi-chip hardware gets
+    # the efficiency field; virtual meshes emit a correctness-dryrun record
+    # that no tool can misread as a hardware scaling result.
+    real_multichip = platform not in ("cpu",) and n_dev > 1
     result = {
         "metric": "DP scaling efficiency (SOT-2048 train step)",
+        "mode": "hardware-scaling" if real_multichip else "correctness-dryrun",
         "device": platform,
         "n_devices": n_dev,
         "per_chip_batch": per_chip_batch,
@@ -87,8 +94,16 @@ def main(tiny: bool | None = None, force_cpu: bool = False) -> None:
         mesh = make_mesh(n_dev)
         stepn = make_sharded_train_step(modn, mesh)
         sps_n = _measure(stepn, staten, all_x, rng)
+        result["sharded_step_ran"] = True
         result["samples_per_sec_n"] = round(sps_n, 1)
-        result["efficiency"] = round(sps_n / (n_dev * sps_1), 4)
+        if real_multichip:
+            result["efficiency"] = round(sps_n / (n_dev * sps_1), 4)
+        else:
+            result["note"] = (
+                f"{n_dev} virtual devices share this host's cores; the "
+                "sharded-vs-single throughput ratio here measures host "
+                "contention, NOT scaling. Hardware efficiency requires a "
+                "real multi-chip slice (BASELINE >=80% target unmeasured).")
     print(json.dumps(result))
 
 
