@@ -2,8 +2,10 @@
 
 Variants (dispatch in sot_tpu/ops/pallas/sot.py:wasserstein_same_grid):
   plane     — banded-plane Pallas kernel (round-1 default)
-  sortmerge — XLA lax.sort O(n log^2 n) prototype (SOT_TPU_W2_SORTMERGE=1)
   merge     — Pallas bitonic-merge O(n log n) kernel (SOT_TPU_W2_MERGE=1)
+(the lax.sort 'sortmerge' prototype lost its round-3 A/B 10x and was
+demoted to a test oracle in round 4 — no longer dispatchable or benched;
+its committed numbers live in sot_ab.json and PERF.md)
 
 Shapes mirror the SOT-2048 training loss: rows = batch 64 x 16 frames =
 1024, bins = 1025 (n_fft 2048). u = spectra of a DIFFERENT random dataset
@@ -108,7 +110,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--k", type=int, default=16)
-    ap.add_argument("--variants", default="plane,sortmerge,merge,hybrid")
+    ap.add_argument("--variants", default="plane,merge,hybrid")
     ap.add_argument("--n-fft", type=int, default=2048,
                     help="loss-STFT size (512 for the SOT-512 families); "
                          "non-default writes sot_ab_<n_fft>.json")
@@ -123,11 +125,8 @@ def main() -> None:
                "rows": int(v.shape[0]), "bins": int(v.shape[1]),
                "k": args.k, "iters": args.iters}
     for variant in args.variants.split(","):
-        os.environ.pop("SOT_TPU_W2_SORTMERGE", None)
         os.environ.pop("SOT_TPU_W2_MERGE", None)
-        if variant == "sortmerge":
-            os.environ["SOT_TPU_W2_SORTMERGE"] = "1"
-        elif variant == "merge":
+        if variant == "merge":
             os.environ["SOT_TPU_W2_MERGE"] = "1"
         elif variant == "hybrid":
             # merge forward + plane backward (the training-safe mode —
