@@ -79,6 +79,28 @@ def build_cqt_kernels(
     return k_real, k_imag, freqs.astype(np.float32), kernel_width, lengths
 
 
+def _use_pallas_cqt(batch: int, kernel_width: int, hop: int,
+                    n_frames: int) -> bool:
+    """SOT_TPU_CQT_PALLAS gate (A/B-adopted like the other kernel gates);
+    forward-only — the CQT is the feature extractor on input data, so no
+    gradient ever flows through it (trainer.py:164)."""
+    from sot_tpu.ops.numerics import env_flag
+
+    if not env_flag("SOT_TPU_CQT_PALLAS"):
+        return False
+    from sot_tpu.ops.pallas.cqt import supported
+    from sot_tpu.ops.pallas.sot import _interpret
+
+    if not supported(batch, kernel_width, hop, n_frames):
+        return False
+    if _interpret():
+        return True
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
 def cqt_magnitude(
     audio: Array,
     sr: int = 16000,
@@ -102,15 +124,25 @@ def cqt_magnitude(
         audio = jnp.pad(audio, ((0, 0), (pad, pad)))
     total = audio.shape[-1]
     n_frames = (total - kernel_width) // hop_length + 1
-    # One fused real matmul for both quadratures: [B, F, W] @ [W, 2*n_bins].
-    # (A strided conv lowering was tried and measured ~1.3x slower than the
-    # explicit frame gather + MXU matmul at paper shapes.)
-    idx = (np.arange(n_frames)[:, None] * hop_length
-           + np.arange(kernel_width)[None, :])
-    frames = audio[:, idx]  # [batch, n_frames, kernel_width]
     bank = jnp.asarray(np.concatenate([k_real, k_imag], axis=1))
-    proj = jnp.einsum("bfw,wn->bfn", frames, bank,
-                      preferred_element_type=jnp.float32)
+    if _use_pallas_cqt(audio.shape[0], kernel_width, hop_length, n_frames):
+        # Fused Pallas frame-slab matmul: the hop (256) is ~1% of the
+        # kernel width (32768), so gathering frames materializes the
+        # signal 128x over in HBM — the step's #1 single op
+        # (results/round4/profile_step.txt). The kernel keeps the padded
+        # signal in VMEM and slices windows in-register instead.
+        from sot_tpu.ops.pallas.cqt import cqt_project
+
+        proj = cqt_project(audio, bank, hop_length, n_frames, 2 * n_bins)
+    else:
+        # One fused real matmul for both quadratures: [B, F, W] @
+        # [W, 2*n_bins]. (A strided conv lowering was tried and measured
+        # ~1.3x slower than the explicit frame gather + MXU matmul.)
+        idx = (np.arange(n_frames)[:, None] * hop_length
+               + np.arange(kernel_width)[None, :])
+        frames = audio[:, idx]  # [batch, n_frames, kernel_width]
+        proj = jnp.einsum("bfw,wn->bfn", frames, bank,
+                          preferred_element_type=jnp.float32)
     re, im = proj[..., :n_bins], proj[..., n_bins:]
     return _complex_abs(re, im)
 

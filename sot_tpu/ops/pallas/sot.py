@@ -456,8 +456,14 @@ def sot_bilinear(alpha: Array, beta: Array, g: Array, p: float = 2.0,
 
 
 # ---------------------------------------------------------------------------
-# O(n log n) sort-merge formulation for p = 2 (experimental alternative to
-# the O(n^2/band) plane kernel; enable with SOT_TPU_W2_SORTMERGE=1)
+# O(n log n) sort-merge formulation for p = 2 — TEST ORACLE ONLY.
+# The production dispatch for this path was removed in round 4: the on-chip
+# A/B measured it ~10x worse than the Pallas merge kernel (grad 17.7 ms at
+# [1024x1025] — lax.sort/gather VJPs; results/round2/sot_ab.json, PERF.md
+# "negative results"), and its tie subgradients differ from the reference
+# convention at the kinks. It remains as an INDEPENDENT implementation of
+# the coupling used to cross-check the merge kernel (tests/test_sot_merge,
+# tests/test_sot_pallas).
 # ---------------------------------------------------------------------------
 
 
@@ -513,12 +519,6 @@ def _sot_w2_sortmerge(alpha: Array, beta: Array, g: Array) -> Array:
     cross = (g[0] * g[0]) * cap + g[0] * (
         jnp.einsum("rn,n->r", a, x) + jnp.einsum("rn,n->r", b, x)) + S
     return marg - 2.0 * cross
-
-
-def _use_sortmerge() -> bool:
-    from sot_tpu.ops.numerics import env_flag
-
-    return env_flag("SOT_TPU_W2_SORTMERGE")
 
 
 def _merge_mode(n_bins: int | None = None) -> str:
@@ -694,9 +694,6 @@ def wasserstein_same_grid(
             # (no banded plane anywhere -> no row grouping needed)
             return _w2_merge_refbwd(alpha, beta, gaug, True)
         merge_mode = "hybrid"  # plane bwd for the target cotangent
-
-    if p == 2.0 and _use_sortmerge():
-        return _sot_w2_sortmerge(alpha, beta, gaug)
 
     if use_pallas is None:
         use_pallas = _use_pallas()

@@ -256,9 +256,11 @@ def test_sortmerge_matches_xla_forward(lqr, v_mass):
                                atol=3e-5 * scale)
 
 
-def test_sortmerge_env_dispatch_matches_general(monkeypatch):
-    """SOT_TPU_W2_SORTMERGE=1 routes wasserstein_same_grid(p=2) through the
-    merge path and still matches the general sort-based implementation."""
+def test_sortmerge_env_flag_is_dead(monkeypatch):
+    """The sortmerge production dispatch was removed in round 4 (lost its
+    on-chip A/B 10x; see the oracle-only banner in sot.py). Setting the old
+    env var must be inert: wasserstein_same_grid still matches the general
+    implementation because it never routes through sortmerge."""
     monkeypatch.setenv("SOT_TPU_W2_SORTMERGE", "1")
     grid, u, v = _make_case(12, v_mass=1.9)
     rows, n = u.shape
