@@ -27,6 +27,7 @@ _AB_GATES: Tuple = (
     # (ab json, baseline key, candidate key, env gates for the candidate)
     ("sot_ab.json", "plane", "merge", ("SOT_TPU_W2_MERGE",)),
     ("conv_ab.json", "xla", "pallas", ("SOT_TPU_CONV_PALLAS",)),
+    ("cqt_ab.json", "xla", "pallas", ("SOT_TPU_CQT_PALLAS",)),
     ("mss_ab.json", "fft", "dft_matmul", ("SOT_TPU_DFT_MATMUL",)),
     ("mss_ab.json", "fft", "pallas", ("SOT_TPU_STFT_PALLAS",)),
     ("mss_ab.json", "fft", "pallas+dft",
@@ -128,6 +129,8 @@ def auto_gates(ab_dir: str = "results/round2") -> Dict[str, str]:
             ab = json.load(open(os.path.join(ab_dir, fname)))
         except Exception:  # noqa: BLE001 — A/B not run yet
             continue
+        if "parity" in ab and not ab["parity"].get("ok"):
+            continue  # a fast-but-wrong candidate is not a candidate
         cand, base = ab.get(cand_key, {}), ab.get(base_key, {})
         if (total(cand) < 0.97 * total(base)
                 and total(base) - total(cand) >= 0.05):
