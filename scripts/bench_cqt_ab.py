@@ -41,9 +41,13 @@ def main() -> None:
     from sot_tpu.ops.cqt import cqt_magnitude
 
     def batch(seed):
+        t0 = time.perf_counter()
         signals, _, _ = data_lib.generate_sinusoid_dataset(
             seed=seed, size=64, n_samples=4096, render_batch=64)
-        return jnp.asarray(data_lib.peak_normalize(signals))[:, :-1]
+        out = jnp.asarray(data_lib.peak_normalize(signals))[:, :-1]
+        print(f"# datagen seed {seed}: {time.perf_counter()-t0:.1f}s",
+              file=sys.stderr, flush=True)
+        return out
 
     xs = jnp.stack([batch(200 + i) for i in range(args.k)])
     results = {"device": str(jax.devices()[0]), "batch": 64,
