@@ -142,3 +142,63 @@ def test_bench_delegates_to_kernel_gates():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     assert mod._auto_gates() == {"SOT_TPU_W2_MERGE": "hybrid"}
+
+
+def test_small_shape_mode_hybrid_when_512_ab_flips():
+    # round-4: per-shape gating — at [rows x 257] hybrid beats ref, so a
+    # ref main gate gains SOT_TPU_W2_MERGE_SMALL=hybrid
+    _write("sot_ab.json", {"plane": {"fwd_ms": 2.4, "grad_ms": 3.8},
+                           "merge": {"fwd_ms": 0.4, "grad_ms": 0.9,
+                                     "rows": 128}})
+    _write("refgrad_ab.json", {
+        "complete": True, "parity": {"max_rel": 0.0, "ok": True},
+        "hybrid": {"fwd_ms": 0.43, "grad_ms": 3.8},
+        "ref": {"fwd_ms": 0.43, "grad_ms": 1.5}})
+    _write("refgrad_ab_512.json", {
+        "complete": True, "parity": {"max_rel": 0.0, "ok": True},
+        "hybrid": {"fwd_ms": 0.25, "grad_ms": 0.32},
+        "ref": {"fwd_ms": 0.21, "grad_ms": 0.42}})
+    assert auto_gates() == {"SOT_TPU_W2_MERGE": "ref",
+                            "SOT_TPU_MERGE_ROWS": "128",
+                            "SOT_TPU_W2_MERGE_SMALL": "hybrid"}
+
+
+def test_small_shape_mode_absent_when_within_noise():
+    _write("sot_ab.json", {"plane": {"fwd_ms": 2.4, "grad_ms": 3.8},
+                           "merge": {"fwd_ms": 0.4, "grad_ms": 0.9}})
+    _write("refgrad_ab.json", {
+        "complete": True, "parity": {"max_rel": 0.0, "ok": True},
+        "hybrid": {"fwd_ms": 0.43, "grad_ms": 3.8},
+        "ref": {"fwd_ms": 0.43, "grad_ms": 1.5}})
+    _write("refgrad_ab_512.json", {
+        "complete": True, "parity": {"max_rel": 0.0, "ok": True},
+        "hybrid": {"fwd_ms": 0.30, "grad_ms": 0.30},
+        "ref": {"fwd_ms": 0.30, "grad_ms": 0.31}})
+    assert auto_gates() == {"SOT_TPU_W2_MERGE": "ref"}
+
+
+def test_refgrad_training_verdict_demotes_ref():
+    # round-4: a committed NEGATIVE training verdict outranks parity+speed
+    _write("sot_ab.json", {"plane": {"fwd_ms": 2.4, "grad_ms": 3.8},
+                           "merge": {"fwd_ms": 0.4, "grad_ms": 0.9}})
+    _write("refgrad_ab.json", {
+        "complete": True, "parity": {"max_rel": 0.0, "ok": True},
+        "hybrid": {"fwd_ms": 0.43, "grad_ms": 3.8},
+        "ref": {"fwd_ms": 0.43, "grad_ms": 1.5}})
+    _write("refgrad_train_verdict.json", {"ref_ok": False})
+    assert auto_gates() == {"SOT_TPU_W2_MERGE": "hybrid"}
+    _write("refgrad_train_verdict.json", {"ref_ok": True})
+    assert auto_gates() == {"SOT_TPU_W2_MERGE": "ref"}
+
+
+def test_cqt_gate_requires_parity():
+    _write("cqt_ab.json", {
+        "complete": True, "parity": {"rel_sum_diff": 1e-5, "ok": True},
+        "xla": {"fwd_ms": 1.0, "grad_ms": 0.0},
+        "pallas": {"fwd_ms": 0.3, "grad_ms": 0.0}})
+    assert auto_gates() == {"SOT_TPU_CQT_PALLAS": "1"}
+    _write("cqt_ab.json", {
+        "complete": True, "parity": {"rel_sum_diff": 0.3, "ok": False},
+        "xla": {"fwd_ms": 1.0, "grad_ms": 0.0},
+        "pallas": {"fwd_ms": 0.3, "grad_ms": 0.0}})
+    assert auto_gates() == {}
