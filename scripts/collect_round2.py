@@ -36,18 +36,39 @@ FAMILIES = ("SOT-2048", "SOT-512", "SOT-512-LogF", "SOT-NoCut",
 SEEDS = (42, 123, 456, 789, 101112)
 
 # column-B recipe per family: (runs subdir, which metrics file)
-#   'best' = trained with the anneal preset; 'ref' = reference training
-#   'comb' = harmonic-comb correction at eval (supersedes 'octcorr'
-#   everywhere: >= the octave rule on every family, no misfires)
+#   'best' = trained with the family's tuned recipe; 'ref' = reference
+#   training. 'comb' = harmonic-comb correction at eval (supersedes
+#   'octcorr' everywhere: >= the octave rule on every family, no misfires).
+# Families marked 'auto' resolve at collection time (round-4): the tuned
+# 'best' runs are used IFF all 5 seeds completed AND their mean RPA beats
+# the ref+comb column — a tuned recipe that loses is never reported as
+# "best-known". The resolution is recorded in recipe_map.
 BEST_RECIPE = {
     "SOT-2048": ("best", "comb"),
     "SOT-512": ("best", "comb"),
     "SOT-2048-SS": ("best", "comb"),
-    "SOT-512-LogF": ("ref", "comb"),
-    "SOT-NoCut": ("ref", "comb"),
+    "SOT-512-LogF": ("auto", "comb"),
+    "SOT-NoCut": ("auto", "comb"),
     "MSS-Lin": ("ref", "comb"),
     "MSS-LogLin": ("ref", "comb"),
 }
+
+
+def _resolve_auto(roots, fam: str, variant: str) -> str:
+    """'best' when the tuned runs are complete and actually better."""
+    def mean_rpa(sub):
+        vals = []
+        for seed in SEEDS:
+            row = read_run(roots, f"{sub}/{fam}-{seed}", variant)
+            if row is None:
+                return None
+            vals.append(row["RPA"])
+        return sum(vals) / len(vals)
+
+    best, ref = mean_rpa("best"), mean_rpa("ref")
+    if best is not None and (ref is None or best > ref):
+        return "best"
+    return "ref"
 
 _VARIANT_FILES = {"plain": "test_metrics.json",
                   "octcorr": "test_metrics_octcorr.json",
@@ -116,6 +137,9 @@ def main() -> int:
             table_a[fam] = aggregate(rows_a)
 
         sub, variant = BEST_RECIPE[fam]
+        if sub == "auto":
+            sub = _resolve_auto(roots, fam, variant)
+            BEST_RECIPE[fam] = (sub, variant)  # recorded in recipe_map
         rows_b = []
         for seed in SEEDS:
             row = read_run(roots, f"{sub}/{fam}-{seed}", variant)
