@@ -79,6 +79,30 @@ def _refgrad_upgrade(ab_dir: str) -> bool:
     return t_ref < 0.97 * t_hyb and t_hyb - t_ref >= 0.05
 
 
+def _synth_gate(ab_dir: str) -> bool:
+    """SOT_TPU_SYNTH_PALLAS adoption: A/B win + parity AND a committed
+    training verdict. The fused synth's gradients are fp-noise-equal (not
+    bit-equal) to the XLA path — HIGHEST-precision envelope matmuls vs
+    per-sample lerp — so by the round-3 gradient-convention policy a speed
+    A/B alone cannot certify it for training."""
+    try:
+        ab = json.load(open(os.path.join(ab_dir, "synth_ab.json")))
+        verdict = json.load(open(os.path.join(ab_dir,
+                                              "synth_train_verdict.json")))
+    except Exception:  # noqa: BLE001 — artifacts not committed yet
+        return False
+    if not (ab.get("complete") and ab.get("parity", {}).get("ok")
+            and verdict.get("synth_ok")):
+        return False
+
+    def total(d):
+        return d.get("fwd_ms", 1e9) + d.get("grad_ms", 1e9)
+
+    cand, base = ab.get("pallas", {}), ab.get("xla", {})
+    return (total(cand) < 0.97 * total(base)
+            and total(base) - total(cand) >= 0.05)
+
+
 def _small_shape_mode(ab_dir: str) -> str:
     """Winner at the SOT-512 families' shape ([rows x 257]), from the
     committed 512-shape A/Bs (sot_ab_512.json / refgrad_ab_512.json).
@@ -153,6 +177,8 @@ def auto_gates(ab_dir: str = "results/round2") -> Dict[str, str]:
     if best_mss[0]:
         for env in best_mss[0]:
             gates[env] = "1"
+    if "SOT_TPU_SYNTH_PALLAS" not in os.environ and _synth_gate(ab_dir):
+        gates["SOT_TPU_SYNTH_PALLAS"] = "1"
     return gates
 
 

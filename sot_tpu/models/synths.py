@@ -63,18 +63,29 @@ class Sinusoidal:
 
     def get_signal(self, amplitudes: Array, frequencies: Array) -> Array:
         """Frame-rate controls -> [batch, n_samples] audio."""
-        amplitude_envelopes = resample(
-            amplitudes, self.n_samples, method=self.amp_resample_method,
-            add_endpoint=True,
-        )
-        frequency_envelopes = resample(frequencies, self.n_samples)
+        if self._use_fused_synth(amplitudes):
+            # Fused Pallas kernel: envelopes + phase prefix + sin + weighting
+            # in VMEM — the XLA path materializes five [B, T, K] tensors in
+            # HBM for ~90 KB of actual inputs (ops/pallas/synth.py; gated
+            # on its on-chip A/B like the other kernels)
+            from sot_tpu.ops.pallas.synth import synth_render
 
-        signal = oscillator_bank(
-            frequency_envelopes=frequency_envelopes,
-            amplitude_envelopes=amplitude_envelopes,
-            sample_rate=self.sample_rate,
-            use_angular_cumsum=self.use_angular_cumsum,
-        )
+            signal = synth_render(amplitudes, frequencies, self.n_samples,
+                                  self.sample_rate,
+                                  self.amp_resample_method)
+        else:
+            amplitude_envelopes = resample(
+                amplitudes, self.n_samples, method=self.amp_resample_method,
+                add_endpoint=True,
+            )
+            frequency_envelopes = resample(frequencies, self.n_samples)
+
+            signal = oscillator_bank(
+                frequency_envelopes=frequency_envelopes,
+                amplitude_envelopes=amplitude_envelopes,
+                sample_rate=self.sample_rate,
+                use_angular_cumsum=self.use_angular_cumsum,
+            )
 
         if self.apply_roll_off:
             # -6 dB/octave above 500 Hz (MSS-LogLin experiment,
@@ -85,6 +96,27 @@ class Sinusoidal:
             filter_mag = jnp.broadcast_to(filter_mag, (signal.shape[0],) + filter_mag.shape[1:])
             signal = frequency_filter(signal, filter_mag)
         return signal
+
+    def _use_fused_synth(self, amplitudes: Array) -> bool:
+        from sot_tpu.ops.numerics import env_flag
+
+        if not env_flag("SOT_TPU_SYNTH_PALLAS") or self.use_angular_cumsum:
+            return False
+        if self.amp_resample_method not in ("window", "bilinear", "nearest",
+                                            "bicubic"):
+            return False
+        from sot_tpu.ops.pallas.sot import _interpret
+        from sot_tpu.ops.pallas.synth import supported
+
+        b, n_frames, k = amplitudes.shape
+        if not supported(self.n_samples, k * b, n_frames, n_frames):
+            return False
+        if _interpret():
+            return True
+        try:
+            return jax.default_backend() == "tpu"
+        except Exception:  # pragma: no cover
+            return False
 
     def __call__(self, amplitudes: Array, frequencies: Array) -> Array:
         controls = self.get_controls(amplitudes, frequencies)

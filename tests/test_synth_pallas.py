@@ -1,0 +1,117 @@
+"""Fused Pallas synth kernel vs the XLA resample+oscillator path.
+
+Forward values AND gradients (to both frame-rate control tensors) must
+match the existing path within fp32/bf16-phase noise in interpret mode —
+both paths use bf16-operand tri-matmul phase prefixes (ops/scan.prefix_sum
+/ ops/pallas/synth._phase_prefix), so agreement is tight but not
+bit-exact (reassociation). The gate must fall back for unsupported
+shapes, and the full Sinusoidal synth must route correctly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from sot_tpu.models.synths import Sinusoidal  # noqa: E402
+
+
+def _controls(b=8, frames=16, k=16, seed=0):
+    rng = np.random.default_rng(seed)
+    amps = rng.uniform(0.05, 1.0, (b, frames, k)).astype(np.float32)
+    f0 = rng.uniform(60.0, 900.0, (b, frames, 1)).astype(np.float32)
+    freqs = f0 * np.arange(1, k + 1, dtype=np.float32)  # some above Nyquist
+    return jnp.asarray(amps), jnp.asarray(freqs)
+
+
+def _synth(**kw):
+    return Sinusoidal(n_samples=4096, sample_rate=16000, amp_scale_fn=None,
+                      freq_scale_fn=None, harmonic=False, **kw)
+
+
+@pytest.mark.parametrize("amp_method", ["window", "bilinear"])
+def test_fused_synth_matches_xla_forward(monkeypatch, amp_method):
+    amps, freqs = _controls()
+    synth = _synth(amp_resample_method=amp_method)
+    monkeypatch.delenv("SOT_TPU_SYNTH_PALLAS", raising=False)
+    ref = synth.get_signal(amps, freqs)
+    monkeypatch.setenv("SOT_TPU_SYNTH_PALLAS", "1")
+    monkeypatch.setenv("SOT_TPU_PALLAS_INTERPRET", "1")
+    assert synth._use_fused_synth(amps)
+    got = synth.get_signal(amps, freqs)
+    assert got.shape == ref.shape
+    # phase reassociation noise: |sin(a)-sin(b)| <= |a-b|; 4096-sample
+    # bf16-operand phase accumulations differ at the ~1e-2 rad level, and
+    # the per-sample audio sums K=16 such sinusoids
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=0.05)
+    corr = np.corrcoef(np.asarray(got).ravel(), np.asarray(ref).ravel())[0, 1]
+    assert corr > 0.999
+
+
+def test_fused_synth_gradients_match_xla(monkeypatch):
+    amps, freqs = _controls(seed=3)
+    synth = _synth()
+
+    def loss(path_on, a, f):
+        if path_on:
+            import os
+            os.environ["SOT_TPU_SYNTH_PALLAS"] = "1"
+        else:
+            import os
+            os.environ.pop("SOT_TPU_SYNTH_PALLAS", None)
+        sig = synth.get_signal(a, f)
+        # smooth scalar touching every sample
+        return jnp.sum(sig * jnp.cos(0.001 * jnp.arange(sig.shape[-1])))
+
+    monkeypatch.setenv("SOT_TPU_PALLAS_INTERPRET", "1")
+    ga_ref, gf_ref = jax.grad(lambda a, f: loss(False, a, f), (0, 1))(amps, freqs)
+    ga_new, gf_new = jax.grad(lambda a, f: loss(True, a, f), (0, 1))(amps, freqs)
+    # amplitude grads: linear path, tight agreement
+    sa = float(jnp.max(jnp.abs(ga_ref))) + 1e-12
+    np.testing.assert_allclose(np.asarray(ga_new) / sa,
+                               np.asarray(ga_ref) / sa, atol=2e-2)
+    # frequency grads ride cos(phase): same phase-noise class as values
+    sf = float(jnp.max(jnp.abs(gf_ref))) + 1e-12
+    np.testing.assert_allclose(np.asarray(gf_new) / sf,
+                               np.asarray(gf_ref) / sf, atol=5e-2)
+    corr = np.corrcoef(np.asarray(gf_new).ravel(),
+                       np.asarray(gf_ref).ravel())[0, 1]
+    assert corr > 0.99
+
+
+def test_fused_synth_nyquist_mask(monkeypatch):
+    """Sinusoids entirely above Nyquist must contribute exactly zero, and
+    carry zero amplitude gradient (matching remove_above_nyquist's VJP)."""
+    monkeypatch.setenv("SOT_TPU_SYNTH_PALLAS", "1")
+    monkeypatch.setenv("SOT_TPU_PALLAS_INTERPRET", "1")
+    b, frames, k = 8, 16, 16
+    amps = jnp.ones((b, frames, k), jnp.float32)
+    freqs = jnp.full((b, frames, k), 9000.0)  # all above 8 kHz Nyquist
+    synth = _synth()
+    assert synth._use_fused_synth(amps)
+    sig = synth.get_signal(amps, freqs)
+    np.testing.assert_allclose(np.asarray(sig), 0.0, atol=1e-7)
+    ga = jax.grad(lambda a: jnp.sum(synth.get_signal(a, freqs) ** 2))(amps)
+    np.testing.assert_allclose(np.asarray(ga), 0.0, atol=1e-7)
+
+
+def test_gate_falls_back_on_unsupported_shapes(monkeypatch):
+    monkeypatch.setenv("SOT_TPU_SYNTH_PALLAS", "1")
+    monkeypatch.setenv("SOT_TPU_PALLAS_INTERPRET", "1")
+    synth = _synth()
+    # K*B = 8*15 = 120 lanes, not 128-divisible -> XLA path
+    amps = jnp.ones((15, 16, 8), jnp.float32)
+    assert not synth._use_fused_synth(amps)
+    # angular-cumsum configs never use the kernel
+    synth_ac = _synth(use_angular_cumsum=True)
+    amps_ok = jnp.ones((8, 16, 16), jnp.float32)
+    assert not synth_ac._use_fused_synth(amps_ok)
+
+
+def test_gate_off_by_default(monkeypatch):
+    monkeypatch.delenv("SOT_TPU_SYNTH_PALLAS", raising=False)
+    synth = _synth()
+    assert not synth._use_fused_synth(jnp.ones((8, 16, 16), jnp.float32))
