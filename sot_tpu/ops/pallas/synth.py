@@ -74,45 +74,6 @@ def _tri(chunk: int, dtype):
     return jnp.where(rows >= cols, 1.0, 0.0).astype(dtype)
 
 
-def _phase_prefix(omega, t: int, op_dtype):
-    """Inclusive prefix sum along axis 0 of [t, 128], replicating
-    ops/scan.prefix_sum's backend-default matmul precision: on TPU the
-    MXU truncates operands to bf16 with f32 accumulation (op_dtype =
-    bf16); in interpret mode XLA-CPU computes f32 (op_dtype = f32), so
-    the kernel matches the XLA path bit-for-bit per backend. Carry across
-    chunks is exact f32 either way."""
-    tri = _tri(_CHUNK, op_dtype)
-    segs = []
-    carry = jnp.zeros((1, omega.shape[1]), jnp.float32)
-    for c in range(t // _CHUNK):
-        seg = omega[c * _CHUNK:(c + 1) * _CHUNK, :]
-        within = jax.lax.dot_general(
-            tri, seg.astype(op_dtype),
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        segs.append(within + carry)
-        carry = carry + within[-1:, :]
-    return jnp.concatenate(segs, axis=0)
-
-
-def _suffix_sum(x, t: int, op_dtype):
-    """Inclusive suffix sum along axis 0 of [t, 128]: the transposed
-    prefix (upper-tri matmuls, carry accumulated from the end)."""
-    tri = _tri(_CHUNK, op_dtype)
-    segs = [None] * (t // _CHUNK)
-    carry = jnp.zeros((1, x.shape[1]), jnp.float32)
-    for c in range(t // _CHUNK - 1, -1, -1):
-        seg = x[c * _CHUNK:(c + 1) * _CHUNK, :]
-        # upper-tri contraction: within_i = sum_{j >= i} seg_j
-        within = jax.lax.dot_general(
-            tri, seg.astype(op_dtype),
-            (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        segs[c] = within + carry
-        carry = carry + within[:1, :]
-    return jnp.concatenate(segs, axis=0)
-
-
 def _hi_dot(a, b, transpose_a=False):
     """f32 matmul at Precision.HIGHEST (envelope precision is pitch
     precision — see module docstring)."""
@@ -122,28 +83,76 @@ def _hi_dot(a, b, transpose_a=False):
                                preferred_element_type=jnp.float32)
 
 
+def _chunk_envs(f_all, a_all, wf_ref, wa_ref, c, nyquist):
+    """Per-chunk envelopes [CHUNK, 128] via HIGHEST matmuls on the chunk's
+    rows of the upsampling matrices (the full-T envelopes never exist —
+    the first full-buffer version of this kernel OOMed scoped VMEM at
+    18.3 MB vs the 16 MB stack; per-chunk streaming peaks ~3 MB)."""
+    wf_c = wf_ref[c * _CHUNK:(c + 1) * _CHUNK, :]
+    wa_c = wa_ref[c * _CHUNK:(c + 1) * _CHUNK, :]
+    env_f = _hi_dot(wf_c, f_all)
+    env_a = jnp.where(env_f >= nyquist, 0.0, _hi_dot(wa_c, a_all))
+    return env_f, env_a, wf_c, wa_c
+
+
+def _within_prefix(omega_c, tri):
+    """Within-chunk inclusive prefix via tri-matmul, replicating
+    ops/scan.prefix_sum's backend-default precision (bf16 operands + f32
+    accumulation on the MXU; f32 in interpret mode)."""
+    return jax.lax.dot_general(tri, omega_c.astype(tri.dtype),
+                               (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
 def _fwd_kernel(f_ref, a_ref, wf_ref, wa_ref, o_ref, *, t, nyquist, scale,
                 op_dtype):
-    env_f = _hi_dot(wf_ref[...], f_ref[...])          # [T, 128]
-    env_a = _hi_dot(wa_ref[...], a_ref[...])
-    env_a = jnp.where(env_f >= nyquist, 0.0, env_a)
-    phase = _phase_prefix(env_f * scale, t, op_dtype)
-    o_ref[...] = env_a * jnp.sin(phase)
+    tri = _tri(_CHUNK, op_dtype)
+    f_all, a_all = f_ref[...], a_ref[...]
+    carry = jnp.zeros((1, _LANES), jnp.float32)
+    for c in range(t // _CHUNK):
+        env_f, env_a, _, _ = _chunk_envs(f_all, a_all, wf_ref, wa_ref, c,
+                                         nyquist)
+        within = _within_prefix(env_f * scale, tri)
+        phase = within + carry
+        carry = carry + within[-1:, :]
+        o_ref[c * _CHUNK:(c + 1) * _CHUNK, :] = env_a * jnp.sin(phase)
 
 
 def _bwd_kernel(f_ref, a_ref, wf_ref, wa_ref, do_ref, df_ref, da_ref, *,
                 t, nyquist, scale, op_dtype):
-    env_f = _hi_dot(wf_ref[...], f_ref[...])
-    env_a = _hi_dot(wa_ref[...], a_ref[...])
-    mask_keep = env_f < nyquist
-    env_a = jnp.where(mask_keep, env_a, 0.0)
-    phase = _phase_prefix(env_f * scale, t, op_dtype)
-    do = do_ref[...]
-    d_env_a = jnp.where(mask_keep, jnp.sin(phase) * do, 0.0)
-    da_ref[...] = _hi_dot(wa_ref[...], d_env_a, transpose_a=True)
-    d_phase = env_a * jnp.cos(phase) * do
-    d_omega = _suffix_sum(d_phase, t, op_dtype)
-    df_ref[...] = _hi_dot(wf_ref[...], d_omega * scale, transpose_a=True)
+    tri = _tri(_CHUNK, op_dtype)
+    f_all, a_all = f_ref[...], a_ref[...]
+    nc = t // _CHUNK
+    # pass 1: per-chunk phase entry carries (tiny [1,128] rows)
+    carries = []
+    carry = jnp.zeros((1, _LANES), jnp.float32)
+    for c in range(nc):
+        env_f = _hi_dot(wf_ref[c * _CHUNK:(c + 1) * _CHUNK, :], f_all)
+        within = _within_prefix(env_f * scale, tri)
+        carries.append(carry)
+        carry = carry + within[-1:, :]
+    # pass 2 (reverse): suffix-carry for d_omega, accumulate frame grads
+    da_acc = jnp.zeros_like(a_all)
+    df_acc = jnp.zeros_like(f_all)
+    s = jnp.zeros((1, _LANES), jnp.float32)
+    for c in range(nc - 1, -1, -1):
+        env_f, env_a, wf_c, wa_c = _chunk_envs(f_all, a_all, wf_ref, wa_ref,
+                                               c, nyquist)
+        within = _within_prefix(env_f * scale, tri)
+        phase = within + carries[c]
+        do_c = do_ref[c * _CHUNK:(c + 1) * _CHUNK, :]
+        d_env_a = jnp.where(env_f >= nyquist, 0.0, jnp.sin(phase) * do_c)
+        da_acc = da_acc + _hi_dot(wa_c, d_env_a, transpose_a=True)
+        d_phase = env_a * jnp.cos(phase) * do_c
+        # within-chunk inclusive suffix: transposed tri contraction
+        w_suf = jax.lax.dot_general(tri, d_phase.astype(op_dtype),
+                                    (((0,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+        d_omega = w_suf + s
+        s = s + w_suf[:1, :]
+        df_acc = df_acc + _hi_dot(wf_c, d_omega * scale, transpose_a=True)
+    da_ref[...] = da_acc
+    df_ref[...] = df_acc
 
 
 def _call_fwd(freq_frames, amp_frames, wf, wa, sample_rate):
@@ -253,10 +262,15 @@ def _resample_matrices(n_frames: int, t: int, amp_method: str):
     column, so it consumes the RAW n_frames amplitudes."""
     from sot_tpu.ops.resample import resample
 
-    eye = jnp.eye(n_frames, dtype=jnp.float32)[None, :, :]
-    wf = np.asarray(resample(eye, t, method="bilinear", add_endpoint=True)[0])
-    wa = np.asarray(resample(eye, t, method=amp_method, add_endpoint=True)[0])
-    return jnp.asarray(wf), jnp.asarray(wa)
+    # runs under jit tracing (the synth is called inside the train step):
+    # identity inputs are compile-time constants, so force eager eval
+    with jax.ensure_compile_time_eval():
+        eye = jnp.eye(n_frames, dtype=jnp.float32)[None, :, :]
+        wf = jnp.asarray(np.asarray(resample(eye, t, method="bilinear",
+                                             add_endpoint=True)[0]))
+        wa = jnp.asarray(np.asarray(resample(eye, t, method=amp_method,
+                                             add_endpoint=True)[0]))
+    return wf, wa
 
 
 def synth_render(amplitudes: Array, frequencies: Array, n_samples: int,
