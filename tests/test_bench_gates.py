@@ -202,3 +202,22 @@ def test_cqt_gate_requires_parity():
         "xla": {"fwd_ms": 1.0, "grad_ms": 0.0},
         "pallas": {"fwd_ms": 0.3, "grad_ms": 0.0}})
     assert auto_gates() == {}
+
+
+def test_synth_gate_needs_parity_speed_and_training_verdict():
+    ab = {"complete": True,
+          "parity": {"val_max_rel": 3e-3, "damp_max_rel": 1e-2,
+                     "dfreq_max_rel": 1.2e-2, "ok": True},
+          "xla": {"fwd_ms": 1.16, "grad_ms": 2.73},
+          "pallas": {"fwd_ms": 0.61, "grad_ms": 1.04}}
+    _write("synth_ab.json", ab)
+    # A/B alone is NOT enough: fp-noise parity requires training evidence
+    assert "SOT_TPU_SYNTH_PALLAS" not in auto_gates()
+    _write("synth_train_verdict.json", {"synth_ok": False})
+    assert "SOT_TPU_SYNTH_PALLAS" not in auto_gates()
+    _write("synth_train_verdict.json", {"synth_ok": True})
+    assert auto_gates().get("SOT_TPU_SYNTH_PALLAS") == "1"
+    # parity failure kills it even with a verdict
+    ab["parity"]["ok"] = False
+    _write("synth_ab.json", ab)
+    assert "SOT_TPU_SYNTH_PALLAS" not in auto_gates()
