@@ -102,14 +102,12 @@ class Sinusoidal:
 
         if not env_flag("SOT_TPU_SYNTH_PALLAS") or self.use_angular_cumsum:
             return False
-        if self.amp_resample_method not in ("window", "bilinear", "nearest",
-                                            "bicubic"):
-            return False
         from sot_tpu.ops.pallas.sot import _interpret
         from sot_tpu.ops.pallas.synth import supported
 
         b, n_frames, k = amplitudes.shape
-        if not supported(self.n_samples, k * b, n_frames, n_frames):
+        if not supported(self.n_samples, k * b, n_frames,
+                         self.amp_resample_method):
             return False
         if _interpret():
             return True
