@@ -103,6 +103,24 @@ def _synth_gate(ab_dir: str) -> bool:
             and total(base) - total(cand) >= 0.05)
 
 
+def _convbf16_gate(ab_dir: str) -> bool:
+    """SOT_TPU_CONV_BF16 (bf16 conv-stack activations): adoption requires
+    a committed positive training verdict carrying a >3% recorded
+    bench-level win — ~0.5% forward perturbation is above the noise floor
+    the round-4 synth lesson showed can hurt this recipe, so speed alone
+    never ships it."""
+    try:
+        v = json.load(open(os.path.join(ab_dir,
+                                        "convbf16_train_verdict.json")))
+    except Exception:  # noqa: BLE001 — verdict not committed yet
+        return False
+    if not v.get("conv_bf16_ok"):
+        return False
+    bench = v.get("bench_frames_per_sec", {})
+    off, on = bench.get("off", 0.0), bench.get("on", 0.0)
+    return off > 0 and on > 1.03 * off
+
+
 def _small_shape_mode(ab_dir: str) -> str:
     """Winner at the SOT-512 families' shape ([rows x 257]), from the
     committed 512-shape A/Bs (sot_ab_512.json / refgrad_ab_512.json).
@@ -179,6 +197,8 @@ def auto_gates(ab_dir: str = "results/round2") -> Dict[str, str]:
             gates[env] = "1"
     if "SOT_TPU_SYNTH_PALLAS" not in os.environ and _synth_gate(ab_dir):
         gates["SOT_TPU_SYNTH_PALLAS"] = "1"
+    if "SOT_TPU_CONV_BF16" not in os.environ and _convbf16_gate(ab_dir):
+        gates["SOT_TPU_CONV_BF16"] = "1"
     return gates
 
 

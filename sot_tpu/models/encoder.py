@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import Dict, Optional, Sequence
+from typing import Any, Dict, Optional, Sequence
 
 import flax.linen as nn
 import jax
@@ -154,11 +154,16 @@ class _Conv(nn.Module):
     """1D conv (NWC) with torch-default initialisation.
 
     SOT_TPU_CONV_PALLAS=1 routes k>1 'same' convs through the fused
-    Pallas im2col kernel (identical param tree; A/B gate)."""
+    Pallas im2col kernel (identical param tree; A/B gate). ``dtype``
+    sets the computation dtype (params stay f32; bf16 halves the HBM
+    traffic of the [rows, bins, ch] activations — the conv stack is the
+    step's #1 category at 2.3 ms — gated on a training verdict like
+    every numerics-affecting speed variant)."""
 
     features: int
     kernel_size: int
     padding: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -171,6 +176,7 @@ class _Conv(nn.Module):
             features=self.features,
             kernel_size=(self.kernel_size,),
             padding=self.padding,
+            dtype=self.dtype,
             kernel_init=_torch_uniform_init(fan_in),
             bias_init=_torch_uniform_init(fan_in),
         )(x)
@@ -223,16 +229,27 @@ class PESTOEncoder(nn.Module):
         x = nn.LayerNorm(epsilon=1e-5, reduction_axes=(-2, -1),
                          feature_axes=(-2, -1))(x)
 
+        # SOT_TPU_CONV_BF16: bf16 ACTIVATIONS through the conv stack
+        # (params stay f32; the MXU computes bf16 either way — this only
+        # adds output-storage rounding while halving activation HBM
+        # traffic). Training-verdict-gated like the synth kernel.
+        from sot_tpu.ops.numerics import env_flag
+
+        cdt = jnp.bfloat16 if env_flag("SOT_TPU_CONV_BF16") else None
+
         pad = (self.kernel_size - 1) // 2
-        x = act(_Conv(ch[0], self.kernel_size, pad, name="conv1")(x))
+        x = act(_Conv(ch[0], self.kernel_size, pad, dtype=cdt,
+                      name="conv1")(x))
         for p in range(self.n_prefilt_layers - 1):
-            y = act(_Conv(ch[0], self.kernel_size, pad, name=f"prefilt{p}")(x))
+            y = act(_Conv(ch[0], self.kernel_size, pad, dtype=cdt,
+                          name=f"prefilt{p}")(x))
             x = y + x if self.residual else y
-        x = act(_Conv(ch[1], 1, 0, name="conv2")(x))
-        x = act(_Conv(ch[2], 1, 0, name="conv3")(x))
-        x = act(_Conv(ch[3], 1, 0, name="conv4a")(x))
+        x = act(_Conv(ch[1], 1, 0, dtype=cdt, name="conv2")(x))
+        x = act(_Conv(ch[2], 1, 0, dtype=cdt, name="conv3")(x))
+        x = act(_Conv(ch[3], 1, 0, dtype=cdt, name="conv4a")(x))
         x = nn.Dropout(rate=self.p_dropout, deterministic=not train)(x)
-        x = _Conv(ch[4], 1, 0, name="conv4b")(x)
+        x = _Conv(ch[4], 1, 0, dtype=cdt, name="conv4b")(x)
+        x = x.astype(jnp.float32)
 
         # channel-major flatten (torch NCW flatten parity)
         batch = x.shape[0]

@@ -221,3 +221,19 @@ def test_synth_gate_needs_parity_speed_and_training_verdict():
     ab["parity"]["ok"] = False
     _write("synth_ab.json", ab)
     assert "SOT_TPU_SYNTH_PALLAS" not in auto_gates()
+
+
+def test_convbf16_gate_needs_verdict_and_bench_win():
+    assert "SOT_TPU_CONV_BF16" not in auto_gates()
+    _write("convbf16_train_verdict.json", {
+        "conv_bf16_ok": True,
+        "bench_frames_per_sec": {"off": 129434.3, "on": 138150.5}})
+    assert auto_gates().get("SOT_TPU_CONV_BF16") == "1"
+    _write("convbf16_train_verdict.json", {
+        "conv_bf16_ok": False,
+        "bench_frames_per_sec": {"off": 129434.3, "on": 138150.5}})
+    assert "SOT_TPU_CONV_BF16" not in auto_gates()
+    _write("convbf16_train_verdict.json", {
+        "conv_bf16_ok": True,
+        "bench_frames_per_sec": {"off": 129434.3, "on": 131000.0}})
+    assert "SOT_TPU_CONV_BF16" not in auto_gates()  # <3% win
