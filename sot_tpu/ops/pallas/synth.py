@@ -306,10 +306,11 @@ def _synth_bwd(sample_rate, res, dout):
 synth_lanes.defvjp(_synth_fwd, _synth_bwd)
 
 
-def _extract_taps(mat: np.ndarray, lerp: bool):
-    """Per-row (lo index, hi index, weights) from a <=2-tap interpolation
-    matrix built on identity frames. For the lerp form, frac is the hi-tap
-    weight (exact: the identity column gives 0 + frac*1)."""
+def _extract_taps(mat: np.ndarray):
+    """Per-row (lo one-hot, hi one-hot, w_lo, w_hi) from a <=2-tap
+    interpolation matrix built on identity frames (the window-OLA amp
+    upsampler; extraction is exact because identity inputs make each
+    matrix entry the raw tap weight)."""
     t, frames = mat.shape
     lo = np.zeros(t, np.int64)
     hi = np.zeros(t, np.int64)
@@ -330,9 +331,6 @@ def _extract_taps(mat: np.ndarray, lerp: bool):
                              "kernel only covers <=2-tap interpolators")
     onehot_lo = np.eye(frames, dtype=np.float32)[lo]
     onehot_hi = np.eye(frames, dtype=np.float32)[hi]
-    if lerp:
-        # env = x_lo + frac * (x_hi - x_lo); single-tap rows have frac 0
-        return onehot_lo, onehot_hi, w_hi, None
     return onehot_lo, onehot_hi, w_lo, w_hi
 
 
@@ -368,7 +366,7 @@ def _build_taps(n_frames: int, t: int):
         eye_a = jnp.eye(n_frames + 1, dtype=jnp.float32)[None, :, :]
         mat_a = np.asarray(upsample_with_windows(eye_a, t,
                                                  add_endpoint=False)[0])
-        alo, ahi, w_lo, w_hi = _extract_taps(mat_a, lerp=False)
+        alo, ahi, w_lo, w_hi = _extract_taps(mat_a)
         # pack everything into ONE [T, 128] array: separate [T, frames]
         # arrays each pad to 128 lanes in VMEM (2 MB apiece) and blew the
         # 16 MB stack in the combined val+grad program
