@@ -207,6 +207,17 @@ EXPERIMENTS: Dict[str, ExperimentConfig] = {
     "SOT-2048-Anneal": _BASE.replace(
         name="SOT-2048-Anneal", losses=_sot_losses(),
         temperature_schedule=(1.0, 0.1, 1500)),
+    # SOT-2048-SS best-known recipe candidate (end of round 4): the SS
+    # family plateau-collapses on ~1 in 5 seeds under any kernel config
+    # (VERDICT_R3_RESPONSE.md "SS-row refresh"); init-probe restarts
+    # target exactly that failure — the collapsed seed 456 went comb RPA
+    # 1.07 -> 96.46 with this preset's knobs (runs/r4/ss456-probes).
+    # Train with --steps 50000 (the family is still escaping at 25k).
+    "SOT-2048-SS-Probes": _BASE.replace(
+        name="SOT-2048-SS-Probes",
+        losses=_sot_losses(mss_weight=0.1, mss_fft_sizes=(512,)),
+        temperature_schedule=(1.0, 0.1, 1500),
+        n_init_probes=8, probe_steps=1000),
 }
 
 PAPER_SEEDS = (42, 123, 456, 789, 101112)
