@@ -2,13 +2,16 @@
 
 Prints ONE JSON line:
   {"metric": "audio frames/sec/chip (SOT-2048 train step)",
-   "value": N, "unit": "frames/s/chip", "vs_baseline": null, ...}
+   "value": N, "unit": "frames/s/chip", "vs_baseline": N/8100, ...}
 
 'audio frames' = CQT/STFT analysis frames processed per second
 (batch 64 x 16 frames per 4096-sample clip — the paper training config).
-The reference publishes no throughput numbers (BASELINE.md), so vs_baseline
-is reported against a reference-stack measurement when available (torch CPU
-is not comparable; null otherwise).
+The reference publishes no throughput numbers (BASELINE.md: no benchmark
+results anywhere in the repo, and its torch-CPU stack is not comparable on
+this 1-vCPU box), so ``vs_baseline`` is reported against this project's own
+round-1 first end-to-end figure — 8,100 frames/s/chip, the unoptimized
+JAX train step before any kernel work (PERF.md history) — i.e. the
+cumulative speedup the TPU-native kernel stack delivers on the same chip.
 
 Kernel gates: env-gated alternative kernels (Pallas merge SOT, Pallas
 im2col conv, DFT-matmul rfft) are auto-enabled when their committed A/B
@@ -114,7 +117,13 @@ def _run_bench():
         "metric": "audio frames/sec/chip (SOT-2048 train step)",
         "value": round(frames_per_sec, 1),
         "unit": "frames/s/chip",
-        "vs_baseline": None,
+        # round-1 first end-to-end figure on this chip (8.1k frames/s/chip,
+        # PERF.md history) — the pre-kernel-work baseline; the reference
+        # itself publishes no throughput numbers (BASELINE.md)
+        "vs_baseline": round(frames_per_sec / 8100.0, 2),
+        "baseline_note": "x over round-1 unoptimized JAX step (8.1k "
+                         "frames/s/chip); reference publishes no "
+                         "throughput numbers",
         "steps_per_sec": round(steps_per_sec, 3),
         "samples_per_sec": round(steps_per_sec * cfg.batch_size, 1),
         "batch_size": cfg.batch_size,

@@ -49,8 +49,11 @@ BEST_RECIPE = {
     "SOT-2048-SS": ("best", "comb"),
     "SOT-512-LogF": ("auto", "comb"),
     "SOT-NoCut": ("auto", "comb"),
-    "MSS-Lin": ("ref", "comb"),
-    "MSS-LogLin": ("ref", "comb"),
+    # round-5: MSS flipped to 'auto' for the pre-registered init-probe rule
+    # (scripts/round5_queue.sh P2/P6) — resolves to 'best' only when the
+    # probe runs completed all 5 seeds AND beat ref+comb.
+    "MSS-Lin": ("auto", "comb"),
+    "MSS-LogLin": ("auto", "comb"),
 }
 
 
@@ -116,7 +119,13 @@ def main() -> int:
 
     for fam in FAMILIES:
         rows_a = []
-        if fam == "SOT-2048":
+        # round-5: SOT-2048 column A uses the six-gate refresh runs when the
+        # full 5-seed set exists (apply_r5_refresh.py); the round-1 rows are
+        # the fallback only while the refresh is incomplete.
+        r5_sot2048 = all(
+            read_run(roots, f"ref/SOT-2048-{s}", "plain") is not None
+            for s in SEEDS)
+        if fam == "SOT-2048" and not r5_sot2048:
             for r in r1:
                 if r["experiment"] == "SOT-2048":
                     row = {k: v for k, v in r.items()
@@ -187,7 +196,15 @@ def main() -> int:
                     pass
             provisional[name] = {**row, "variant": variant, "source": src}
 
+    # kernel-era stamp (VERDICT r4 task 1): which rows come from the
+    # round-5 six-gate refresh, and under which gate configuration.
+    try:
+        refresh = json.load(open(os.path.join(args.out, "refresh_r5.json")))
+    except FileNotFoundError:
+        refresh = None
+
     out = {"reference_protocol": table_a, "best_recipe": table_b,
+           "kernel_era": refresh,
            "recipe_map": {k: "+".join(v) for k, v in BEST_RECIPE.items()},
            "round1_seed42_fallback": fallback,
            "fallback_note": "families with zero completed round-2 "

@@ -123,7 +123,8 @@ def _convbf16_gate(ab_dir: str) -> bool:
 
 def _small_shape_mode(ab_dir: str) -> str:
     """Winner at the SOT-512 families' shape ([rows x 257]), from the
-    committed 512-shape A/Bs (sot_ab_512.json / refgrad_ab_512.json).
+    committed 512-shape refgrad A/B (refgrad_ab_512.json — the only input;
+    sot_ab_512.json does not participate in this decision).
     Round-4 finding: the plane backward is cheap at n=257 so hybrid beats
     ref there — the dispatcher honours SOT_TPU_W2_MERGE_SMALL for rows of
     <= SOT_TPU_W2_SMALL_N bins. Returns '' when the 512 A/Bs are absent

@@ -72,8 +72,13 @@ def supported(t: int, n_lanes: int, frames: int, amp_method: str) -> bool:
     # frames bound: all taps pack into one [T, 128] VMEM array
     # (2F one-hot freq cols + 2(F+1) amp cols + 3 scalar cols <= 128;
     # separate tap arrays each pad to 128 lanes and OOM the VMEM stack)
+    # t bound set by the 16 MB VMEM stack, not correctness: the packed tap
+    # block [T,128] f32 + output [T,128] are ~4.2 MB each at T=8192, and the
+    # backward adds an equal-size dout block (~12.6 MB total + temps). At
+    # t=16384 the backward would fail Mosaic compilation (ADVICE round 4),
+    # so the gate stops at 8192 (shipped configs use n_samples=4096).
     return (t % _CHUNK == 0 and n_lanes % _LANES == 0
-            and frames <= 30 and t <= 16384 and amp_method == "window")
+            and frames <= 30 and t <= 8192 and amp_method == "window")
 
 
 def _tri(chunk: int, dtype):

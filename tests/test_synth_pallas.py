@@ -96,20 +96,19 @@ def test_fused_synth_gradients_match_xla(monkeypatch):
     amps, freqs = _controls(seed=3)
     synth = _synth()
 
-    def loss(path_on, a, f):
-        if path_on:
-            import os
-            os.environ["SOT_TPU_SYNTH_PALLAS"] = "1"
-        else:
-            import os
-            os.environ.pop("SOT_TPU_SYNTH_PALLAS", None)
+    def loss(a, f):
         sig = synth.get_signal(a, f)
         # smooth scalar touching every sample
         return jnp.sum(sig * jnp.cos(0.001 * jnp.arange(sig.shape[-1])))
 
+    # gate toggled via monkeypatch (auto-restored) — a bare os.environ write
+    # here leaked into later tests and made auto_gates order-dependent
+    # (ADVICE round 4)
     monkeypatch.setenv("SOT_TPU_PALLAS_INTERPRET", "1")
-    ga_ref, gf_ref = jax.grad(lambda a, f: loss(False, a, f), (0, 1))(amps, freqs)
-    ga_new, gf_new = jax.grad(lambda a, f: loss(True, a, f), (0, 1))(amps, freqs)
+    monkeypatch.delenv("SOT_TPU_SYNTH_PALLAS", raising=False)
+    ga_ref, gf_ref = jax.grad(loss, (0, 1))(amps, freqs)
+    monkeypatch.setenv("SOT_TPU_SYNTH_PALLAS", "1")
+    ga_new, gf_new = jax.grad(loss, (0, 1))(amps, freqs)
     # amplitude grads: linear path, tight agreement
     sa = float(jnp.max(jnp.abs(ga_ref))) + 1e-12
     np.testing.assert_allclose(np.asarray(ga_new) / sa,
