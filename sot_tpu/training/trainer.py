@@ -676,6 +676,19 @@ def train(
                     step, "val", outs,
                     transform_frequencies=trans_freqs,
                     feature_frequencies=feat_freqs)
+                # quantile-function figure (host-side, figure path only —
+                # return_quantiles takes the general sorting path, never
+                # the fused training kernel)
+                w1d = next((fn for kind, fn, _ in mod.loss_fns
+                            if type(fn).__name__ == "Wasserstein1D"), None)
+                if w1d is not None and mod.x_pos is not None:
+                    q = w1d(jnp.asarray(outs["spec_x"][:1]),
+                            jnp.asarray(outs["spec_x_hat"][:1]),
+                            x_pos=mod.x_pos, y_pos=mod.x_pos,
+                            return_quantiles=True)
+                    fig_logger.log_quantiles(
+                        step, "val", np.asarray(q[2]), np.asarray(q[0]),
+                        np.asarray(q[1]))
             lsd = val.get("log_spectral_distance", float("inf"))
             if lsd < best_lsd:
                 best_lsd = lsd

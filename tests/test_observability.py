@@ -36,6 +36,31 @@ def test_figure_logger_disabled_is_noop():
 
     fl = FigureLogger(None)
     fl.log_signal(0, "val", "x", np.zeros((2, 8)))  # must not raise
+    fl.log_quantiles(0, "val", np.zeros(8), np.zeros(8), np.zeros(8))
+
+
+def test_figure_logger_quantile_figure(tmp_path):
+    """Quantile-function figure from Wasserstein1D(return_quantiles=True)
+    (VERDICT r4 task 7 — the reference exposes the hook, losses.py:140,
+    but never renders it)."""
+    import jax.numpy as jnp
+
+    from sot_tpu.losses import Wasserstein1D
+    from sot_tpu.training.observability import FigureLogger
+
+    rng = np.random.default_rng(0)
+    spec_x = jnp.asarray(np.abs(rng.standard_normal((1, 4, 33))), jnp.float32)
+    spec_y = jnp.asarray(np.abs(rng.standard_normal((1, 4, 33))), jnp.float32)
+    pos = np.linspace(0.0, 1.0, 33).astype(np.float32)
+    w = Wasserstein1D(p=2, square_dist=True, dont_normalize=True,
+                      limit_quantile_range=True)
+    q = w(spec_x, spec_y, x_pos=pos, y_pos=pos, return_quantiles=True)
+    uq, vq, qs = q[0], q[1], q[2]
+    assert uq.shape[:2] == (1, 4) and uq.shape == vq.shape
+    fl = FigureLogger(str(tmp_path))
+    fl.log_quantiles(7, "val", np.asarray(qs), np.asarray(uq), np.asarray(vq))
+    assert (tmp_path / "figures" / "step7"
+            / "Signal_val_Quantile_Functions.png").exists()
 
 
 def test_cli_yaml_config_and_master_expansion(tmp_path):
@@ -68,6 +93,8 @@ def test_train_loop_writes_figures(tmp_path):
     train(cfg, max_steps=2, log_every=1, figure_dir=str(tmp_path))
     figs = list((tmp_path / "figures").rglob("*.png"))
     assert len(figs) >= 4
+    # the quantile-function figure rides the same val gallery pass
+    assert any(p.name == "Signal_val_Quantile_Functions.png" for p in figs)
 
 
 def test_eval_paper_table_formatting():
