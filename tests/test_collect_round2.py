@@ -97,3 +97,57 @@ def test_collector_tables_fallbacks_and_provisional(tree):
     assert col["n_seeds"] == 6
     assert col["frac_below_20"] == pytest.approx(2 / 6)  # 0.1, 5.0 < 20
     assert col["frac_below_50"] == pytest.approx(3 / 6)  # + the 23.0 seed
+
+
+def _write_run(root, sub, name, rpa, variants=("plain", "comb")):
+    d = root / "runs" / "round2" / sub / name
+    d.mkdir(parents=True, exist_ok=True)
+    fnames = {"plain": "test_metrics.json", "comb": "test_metrics_comb.json",
+              "octcorr": "test_metrics_octcorr.json"}
+    for v in variants:
+        json.dump(_metrics(rpa), open(d / fnames[v], "w"))
+
+
+def test_resolve_auto_and_seed_honesty(tree):
+    """VERDICT r4 task 8: the 'auto' column-B resolution must report tuned
+    runs ONLY when all 5 seeds completed AND their mean beats ref+comb, and
+    no table row may silently drop a seed (aggregate n + missing_runs)."""
+    seeds = (42, 123, 456, 789, 101112)
+
+    # SOT-512-LogF: complete tuned runs that beat ref -> 'best'
+    for s in seeds:
+        _write_run(tree, "ref", f"SOT-512-LogF-{s}", 0.30)
+        _write_run(tree, "best", f"SOT-512-LogF-{s}", 0.90)
+    # SOT-NoCut: tuned runs INCOMPLETE (4/5) despite winning scores -> 'ref'
+    for s in seeds:
+        _write_run(tree, "ref", f"SOT-NoCut-{s}", 0.50)
+    for s in seeds[:-1]:
+        _write_run(tree, "best", f"SOT-NoCut-{s}", 0.99)
+    # MSS-Lin: tuned runs complete but WORSE -> 'ref'
+    for s in seeds:
+        _write_run(tree, "ref", f"MSS-Lin-{s}", 0.40)
+        _write_run(tree, "best", f"MSS-Lin-{s}", 0.10)
+    # SOT-2048: full six-gate refresh present -> column A uses run dirs,
+    # not the round-1 JSON (rpa 0.70 vs round-1 ~40.6 mean)
+    for s in seeds:
+        _write_run(tree, "ref", f"SOT-2048-{s}", 0.70)
+    # MSS-LogLin: one seed missing from ref -> honest n=4 + missing_runs
+    for s in seeds[:-1]:
+        _write_run(tree, "ref", f"MSS-LogLin-{s}", 0.20)
+
+    out = _run_collector()
+
+    assert out["recipe_map"]["SOT-512-LogF"] == "best+comb"
+    assert out["best_recipe"]["SOT-512-LogF"]["RPA"]["mean"] == pytest.approx(90.0)
+    # incomplete tuned runs are never reported as best-known
+    assert out["recipe_map"]["SOT-NoCut"] == "ref+comb"
+    assert out["best_recipe"]["SOT-NoCut"]["RPA"]["mean"] == pytest.approx(50.0)
+    # complete-but-losing tuned runs are never reported as best-known
+    assert out["recipe_map"]["MSS-Lin"] == "ref+comb"
+    assert out["best_recipe"]["MSS-Lin"]["RPA"]["mean"] == pytest.approx(40.0)
+    # refreshed SOT-2048 column A comes from the run dirs
+    assert out["reference_protocol"]["SOT-2048"]["RPA"]["mean"] == pytest.approx(70.0)
+    assert out["reference_protocol"]["SOT-2048"]["RPA"]["n"] == 5
+    # no silent seed drops: n carries the truth and the gap is enumerated
+    assert out["reference_protocol"]["MSS-LogLin"]["RPA"]["n"] == 4
+    assert "ref/MSS-LogLin-101112" in out["missing_runs"]
