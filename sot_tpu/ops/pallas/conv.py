@@ -38,7 +38,11 @@ from .sot import _interpret
 
 Array = jax.Array
 
-_ROW_TILE = 8  # rows per program; VMEM is ~1 MB/program at training shapes
+def _row_tile() -> int:
+    """Rows per program (VMEM ~1 MB/program at training shapes with the
+    default 8; SOT_TPU_CONV_ROWS widens the per-program matmul N axis
+    for the in-step A/B)."""
+    return int(os.environ.get("SOT_TPU_CONV_ROWS", "8"))
 
 
 def _round_up(v: int, m: int) -> int:
@@ -62,21 +66,34 @@ def _xwin(xb: Array, k: int, dtype) -> Array:
 
 
 def _fwd_kernel(x_ref, w_ref, y_ref, *, k: int, dtype):
-    for b in range(x_ref.shape[0]):
-        xw = _xwin(x_ref[b], k, dtype)
-        y_ref[b] = jnp.dot(w_ref[:].astype(dtype), xw,
-                           preferred_element_type=jnp.float32)
+    # ONE matmul per program: the row tile rides the matmul's N axis
+    # ([C_out, C_in*k] @ [C_in*k, tile*Wp]) instead of `tile` small
+    # N=Wp matmuls — fewer, larger MXU issues (round-5 rework; the
+    # per-row unrolled loop was part of why the v1 kernel lost its A/B).
+    # Per-output values are bit-identical to the per-row form: matmul
+    # output columns are independent and the K-contraction order is
+    # unchanged.
+    tile, wp = x_ref.shape[0], x_ref.shape[2]
+    xw = jnp.concatenate([_xwin(x_ref[b], k, dtype) for b in range(tile)],
+                         axis=1)  # [C_in*k, tile*Wp]
+    y = jnp.dot(w_ref[:].astype(dtype), xw,
+                preferred_element_type=jnp.float32)  # [C_out, tile*Wp]
+    y_ref[:] = jnp.moveaxis(y.reshape(y.shape[0], tile, wp), 1, 0)
 
 
 def _dw_kernel(x_ref, dy_ref, dw_ref, *, k: int, dtype):
-    acc = jnp.zeros(dw_ref.shape[1:], jnp.float32)
-    for b in range(x_ref.shape[0]):
-        xw = _xwin(x_ref[b], k, dtype)
-        acc = acc + jax.lax.dot_general(
-            xw, dy_ref[b].astype(dtype),
-            (((1,), (1,)), ((), ())),  # contract over W lanes
-            preferred_element_type=jnp.float32)
-    dw_ref[0] = acc
+    # single contraction over all tile*Wp lanes: dW = Xwin_cat @ dy_cat^T.
+    # Same MXU-batching rationale as _fwd_kernel; the contraction order
+    # over W differs from the per-row sum (fp-noise-level only, and the
+    # f32 accumulator keeps it below the committed test tolerances).
+    tile = x_ref.shape[0]
+    xw = jnp.concatenate([_xwin(x_ref[b], k, dtype) for b in range(tile)],
+                         axis=1)  # [C_in*k, tile*Wp]
+    dyc = jnp.concatenate([dy_ref[b].astype(dtype) for b in range(tile)],
+                          axis=1)  # [C_out, tile*Wp]
+    dw_ref[0] = jax.lax.dot_general(
+        xw, dyc, (((1,), (1,)), ((), ())),  # contract over tile*Wp lanes
+        preferred_element_type=jnp.float32)
 
 
 def _compute_dtype() -> jnp.dtype:
@@ -94,7 +111,7 @@ def _prep(x: Array, k: int):
     b, w, _ = x.shape
     pad = (k - 1) // 2
     wp = _round_up(w + k - 1, 128)
-    bp = _round_up(b, _ROW_TILE)
+    bp = _round_up(b, _row_tile())
     x_cm = jnp.pad(jnp.swapaxes(x, 1, 2).astype(jnp.float32),
                    ((0, bp - b), (0, 0), (pad, wp - w - pad)))
     return x_cm, wp, bp, pad
@@ -107,17 +124,18 @@ def _conv_cmajor_fwd(x_cm: Array, wflat: Array, k: int) -> Array:
 
     bp, cin, wp = x_cm.shape
     cout = wflat.shape[0]
-    n_prog = bp // _ROW_TILE
+    tile = _row_tile()
+    n_prog = bp // tile
     return pl.pallas_call(
         functools.partial(_fwd_kernel, k=k, dtype=_compute_dtype()),
         grid=(n_prog,),
         in_specs=[
-            pl.BlockSpec((_ROW_TILE, cin, wp), lambda i: (i, 0, 0),
+            pl.BlockSpec((tile, cin, wp), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((cout, cin * k), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((_ROW_TILE, cout, wp), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((tile, cout, wp), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bp, cout, wp), jnp.float32),
         interpret=_interpret(),
@@ -131,14 +149,15 @@ def _conv_cmajor_dw(x_cm: Array, dy_cm: Array, k: int) -> Array:
 
     bp, cin, wp = x_cm.shape
     cout = dy_cm.shape[1]
-    n_prog = bp // _ROW_TILE
+    tile = _row_tile()
+    n_prog = bp // tile
     partials = pl.pallas_call(
         functools.partial(_dw_kernel, k=k, dtype=_compute_dtype()),
         grid=(n_prog,),
         in_specs=[
-            pl.BlockSpec((_ROW_TILE, cin, wp), lambda i: (i, 0, 0),
+            pl.BlockSpec((tile, cin, wp), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_ROW_TILE, cout, wp), lambda i: (i, 0, 0),
+            pl.BlockSpec((tile, cout, wp), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, cin * k, cout), lambda i: (i, 0, 0),
