@@ -112,7 +112,10 @@ def _prep(x: Array, k: int):
     pad = (k - 1) // 2
     wp = _round_up(w + k - 1, 128)
     bp = _round_up(b, _row_tile())
-    x_cm = jnp.pad(jnp.swapaxes(x, 1, 2).astype(jnp.float32),
+    # feed blocks at the compute dtype: bf16 halves the HBM->VMEM traffic
+    # of the input tiles (the kernel casts to this dtype anyway; f32 mode
+    # keeps exact parity)
+    x_cm = jnp.pad(jnp.swapaxes(x, 1, 2).astype(_compute_dtype()),
                    ((0, bp - b), (0, 0), (pad, wp - w - pad)))
     return x_cm, wp, bp, pad
 
@@ -200,7 +203,7 @@ def _conv1d_same_bwd(k, res, dy):
     # contract the im2col of x against dy placed at the x grid's offsets
     x_cm, wp, bp, pad = _prep(x, k)
     # dy aligns with y_cm's q-grid (w_out = q): left-aligned, zero tail
-    dy_cm = jnp.pad(jnp.swapaxes(dy, 1, 2).astype(jnp.float32),
+    dy_cm = jnp.pad(jnp.swapaxes(dy, 1, 2).astype(_compute_dtype()),
                     ((0, bp - b), (0, 0), (0, wp - w)))
     dwflat = _conv_cmajor_dw(x_cm, dy_cm, k)  # [(d*cin+ci), cout]
     dw = dwflat.reshape(k, cin, cout)
