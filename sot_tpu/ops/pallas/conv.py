@@ -58,10 +58,22 @@ def _roll_left(v: Array, d: int) -> Array:
     return pltpu.roll(v, shift=v.shape[-1] - d, axis=len(v.shape) - 1)
 
 
-def _xwin(xb: Array, k: int, dtype) -> Array:
-    """im2col window matrix [C_in*k, Wp] from one row's [C_in, Wp];
-    row index d*C_in + ci holds x[ci, w + d]."""
-    return jnp.concatenate([_roll_left(xb, d) for d in range(k)],
+def _xwin_tile(x_blk: Array, k: int, dtype) -> Array:
+    """Batched im2col [C_in*k, tile*Wp] from a [tile, C_in, Wp] block:
+    row index d*C_in + ci, column b*Wp + w holds x[b, ci, w + d].
+
+    The row tile is flattened into the LANE axis FIRST (f32 relayout),
+    then the k window offsets are lane-rolls of the flattened array and
+    one sublane concat. A roll crossing a row boundary only pollutes the
+    last k-1 lanes of that row's Wp segment — exactly the circular-wrap
+    lanes the existing invariant already excludes (outside kept outputs
+    in fwd, zero-dy lanes in dw). Crucially this keeps every roll on
+    32-bit data with a single trailing cast: rolling bf16 (or lane-
+    concatenating bf16 pieces) hits Mosaic's 'Rotate with non-32-bit
+    data: not implemented' (probed on-chip, round 5)."""
+    tile, cin, wp = x_blk.shape
+    xf = jnp.moveaxis(x_blk, 0, 1).reshape(cin, tile * wp)
+    return jnp.concatenate([_roll_left(xf, d) for d in range(k)],
                            axis=0).astype(dtype)
 
 
@@ -73,9 +85,8 @@ def _fwd_kernel(x_ref, w_ref, y_ref, *, k: int, dtype):
     # Per-output values are bit-identical to the per-row form: matmul
     # output columns are independent and the K-contraction order is
     # unchanged.
-    tile, wp = x_ref.shape[0], x_ref.shape[2]
-    xw = jnp.concatenate([_xwin(x_ref[b], k, dtype) for b in range(tile)],
-                         axis=1)  # [C_in*k, tile*Wp]
+    tile, _, wp = x_ref.shape
+    xw = _xwin_tile(x_ref[:], k, dtype)
     y = jnp.dot(w_ref[:].astype(dtype), xw,
                 preferred_element_type=jnp.float32)  # [C_out, tile*Wp]
     y_ref[:] = jnp.moveaxis(y.reshape(y.shape[0], tile, wp), 1, 0)
@@ -86,11 +97,9 @@ def _dw_kernel(x_ref, dy_ref, dw_ref, *, k: int, dtype):
     # Same MXU-batching rationale as _fwd_kernel; the contraction order
     # over W differs from the per-row sum (fp-noise-level only, and the
     # f32 accumulator keeps it below the committed test tolerances).
-    tile = x_ref.shape[0]
-    xw = jnp.concatenate([_xwin(x_ref[b], k, dtype) for b in range(tile)],
-                         axis=1)  # [C_in*k, tile*Wp]
-    dyc = jnp.concatenate([dy_ref[b].astype(dtype) for b in range(tile)],
-                          axis=1)  # [C_out, tile*Wp]
+    tile, _, wp = x_ref.shape
+    xw = _xwin_tile(x_ref[:], k, dtype)
+    dyc = jnp.moveaxis(dy_ref[:], 0, 1).reshape(-1, tile * wp).astype(dtype)
     dw_ref[0] = jax.lax.dot_general(
         xw, dyc, (((1,), (1,)), ((), ())),  # contract over tile*Wp lanes
         preferred_element_type=jnp.float32)
@@ -112,10 +121,10 @@ def _prep(x: Array, k: int):
     pad = (k - 1) // 2
     wp = _round_up(w + k - 1, 128)
     bp = _round_up(b, _row_tile())
-    # feed blocks at the compute dtype: bf16 halves the HBM->VMEM traffic
-    # of the input tiles (the kernel casts to this dtype anyway; f32 mode
-    # keeps exact parity)
-    x_cm = jnp.pad(jnp.swapaxes(x, 1, 2).astype(_compute_dtype()),
+    # blocks are fed f32: the kernel's lane-rolls must run on 32-bit data
+    # (Mosaic has no bf16 rotate — see _xwin_tile), so a bf16 feed would
+    # force per-roll up-casts rather than save traffic
+    x_cm = jnp.pad(jnp.swapaxes(x, 1, 2).astype(jnp.float32),
                    ((0, bp - b), (0, 0), (pad, wp - w - pad)))
     return x_cm, wp, bp, pad
 
@@ -203,7 +212,7 @@ def _conv1d_same_bwd(k, res, dy):
     # contract the im2col of x against dy placed at the x grid's offsets
     x_cm, wp, bp, pad = _prep(x, k)
     # dy aligns with y_cm's q-grid (w_out = q): left-aligned, zero tail
-    dy_cm = jnp.pad(jnp.swapaxes(dy, 1, 2).astype(_compute_dtype()),
+    dy_cm = jnp.pad(jnp.swapaxes(dy, 1, 2).astype(jnp.float32),
                     ((0, bp - b), (0, 0), (0, wp - w)))
     dwflat = _conv_cmajor_dw(x_cm, dy_cm, k)  # [(d*cin+ci), cout]
     dw = dwflat.reshape(k, cin, cout)
