@@ -33,6 +33,12 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--no-auto-gates", action="store_true")
+    ap.add_argument("--single-step", action="store_true",
+                    help="profile the single train_step program (bench.py's "
+                    "program) instead of the epoch scan — per-step Python "
+                    "dispatch inflates WALL numbers, but per-op DEVICE "
+                    "times stay valid and the compile is minutes cheaper "
+                    "for gated kernel variants")
     args = ap.parse_args()
 
     gates = {} if args.no_auto_gates else _apply_auto_gates()
@@ -45,6 +51,7 @@ def main() -> None:
     from sot_tpu.configs import get_experiment
     from sot_tpu.training.profiling import print_trace_summary, trace
     from sot_tpu.training.trainer import (build_modules, init_state,
+                                          make_train_step,
                                           make_train_steps_scan)
 
     cfg = get_experiment("SOT-2048")
@@ -56,7 +63,16 @@ def main() -> None:
     # dispatch over the remote tunnel used to inflate the profiled wall ~5x
     # vs bench.py (round-2 postmortem — 68.6 ms/step wall over ~10.5 ms of
     # device time).
-    train_steps = make_train_steps_scan(mod)
+    if args.single_step:
+        step_fn = make_train_step(mod)
+
+        def train_steps(state, x_all, los, rng):
+            logs = None
+            for _ in range(len(los)):
+                state, logs = step_fn(state, x_all, rng)
+            return state, logs
+    else:
+        train_steps = make_train_steps_scan(mod)
 
     signals, _, _ = data_lib.generate_sinusoid_dataset(
         seed=0, size=cfg.batch_size, n_samples=cfg.n_samples,
