@@ -24,6 +24,15 @@ per-tile partial contraction Xwin @ dy^T accumulated in XLA.
 
 Enable in training with SOT_TPU_CONV_PALLAS=1 (hook in
 models/encoder.py:_Conv); A/B against the XLA conv before defaulting.
+
+STATUS (round 5): TWICE-NEGATIVE — kept for the record, gated off. The
+round-5 rework (one batched-N matmul per program, tile flattened into
+lanes before the f32 rolls) still loses the in-step A/B ~30% to XLA's
+conv fusion (97.9k vs 140.2k frames/s/chip,
+results/round5/conv_ab_instep.json; first attempt lost 2.5x in round 3).
+Mosaic lesson encoded in _xwin_tile: there is no bf16 rotate — every
+lane-roll and lane-concat must happen on 32-bit data, with one trailing
+cast into the dot.
 """
 
 from __future__ import annotations
