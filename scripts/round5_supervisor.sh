@@ -12,13 +12,17 @@ wait_for_tunnel() {
   while true; do
     cycle=$((cycle + 1))
     if timeout 3 bash -c 'echo > /dev/tcp/127.0.0.1/8083' 2>/dev/null; then
-      if timeout 150 python -c "import jax; print(jax.devices())" >/dev/null 2>&1; then
-        echo "$(date +%H:%M:%S) tunnel is up"
+      # require a REAL execution, not just device listing: during the
+      # round-5 outage the control plane (jax.devices) stayed green for
+      # ~50 min while every dispatch hung, and a devices-only probe
+      # relaunched the queue into serial wedges
+      if timeout 150 python -c "import jax, jax.numpy as jnp; print(float(jax.jit(lambda v: (v*v).sum())(jnp.arange(1024.0))))" >/dev/null 2>&1; then
+        echo "$(date +%H:%M:%S) tunnel is up (exec probe)"
         return 0
       fi
     elif [ $((cycle % 5)) -eq 0 ]; then
-      if timeout 150 python -c "import jax; print(jax.devices())" >/dev/null 2>&1; then
-        echo "$(date +%H:%M:%S) tunnel is up (no port 8083)"
+      if timeout 150 python -c "import jax, jax.numpy as jnp; print(float(jax.jit(lambda v: (v*v).sum())(jnp.arange(1024.0))))" >/dev/null 2>&1; then
+        echo "$(date +%H:%M:%S) tunnel is up (exec probe, no port 8083)"
         return 0
       fi
     fi
